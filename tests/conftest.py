@@ -1,0 +1,39 @@
+"""Test configuration: force CPU with a virtual 8-device mesh and enable
+float64 (prognostic state is double precision, matching the reference).
+
+Multi-chip sharding tests run against the virtual CPU mesh; the real-TPU
+path is exercised by bench.py / __graft_entry__.py.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon sitecustomize force-registers the TPU-tunnel platform and
+# overrides JAX_PLATFORMS from the environment, so the platform must be
+# pinned via jax.config *after* import (env vars alone do not stick).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REF_DATA = pathlib.Path("/root/reference/test/data")
+TEST_DATA = REPO / "tests" / "data"
+
+
+@pytest.fixture(scope="session")
+def ref_data_dir():
+    return REF_DATA
+
+
+@pytest.fixture(scope="session")
+def fixture_dir():
+    return TEST_DATA
