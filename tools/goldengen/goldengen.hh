@@ -59,7 +59,9 @@ inline std::vector<Block> read_blocks(const std::string& path) {
     std::string tok;
     while (ss >> tok) {
       if (tok == "nan" || tok == "NaN") vals.push_back(std::nan(""));
-      else vals.push_back(std::stod(tok));
+      // strtod instead of stod: golden files contain subnormals (1e-323)
+      // that make stod throw out_of_range
+      else vals.push_back(std::strtod(tok.c_str(), nullptr));
     }
     blocks.back().set(name, vals);
   }
