@@ -1,0 +1,814 @@
+"""Snow pack evolution: meltwater percolation with aerosol flushing,
+compaction, layer combination/subdivision, and grain-size aging — batched
+over columns.
+
+TPU-native rebuild of
+``/root/reference/src/physics/snow_hydrology_impl.hh:8-1353`` (from ELM's
+SnowHydrologyMod.F90 + SnowSNICARMod aging) and
+``aerosol_physics_impl.hh`` / ``transpiration_impl.hh``; orchestration in
+``driver/kokkos/snow_hydrology_kokkos.cc:23-188``.
+
+The data-dependent layer mutations (combine/divide with in-place shifts and
+mid-loop ``snl`` changes) are re-expressed as static unrolls over the 5
+snow positions with per-column masks, carrying ``snl`` through each pass —
+each column follows exactly the reference's sequential control flow.
+
+Deliberate deviation: the reference's ``snow_water`` percolation clamp
+reads ``vol_ice[i+i]`` (``snow_hydrology_impl.hh:388``) — an out-of-bounds
+/wrong-layer access; the physically intended ``vol_ice[i+1]`` is used here
+and in the fixture generator.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from elmkernels_tpu import constants as c
+from elmkernels_tpu.physics.math_utils import safe_div
+
+# snow aging lookup-table index bounds (snow_snicar.h detail:: lines 34-39)
+IDX_T_MAX = 10
+IDX_TGRD_MAX = 30
+IDX_RHOS_MAX = 7
+
+_NSNO = c.NLEVSNO
+
+
+def _lev():
+    return jnp.arange(_NSNO)
+
+
+class SnowWaterOut(NamedTuple):
+    qflx_snow_melt: jnp.ndarray
+    qflx_top_soil: jnp.ndarray
+    int_snow: jnp.ndarray
+    frac_sno: jnp.ndarray
+    mflx_neg_snow: jnp.ndarray
+    h2osoi_liq: jnp.ndarray   # [ncol, NLEVTOT]
+    h2osoi_ice: jnp.ndarray
+    mss: dict                 # per-species [ncol, NLEVSNO]
+    dz: jnp.ndarray
+
+
+def snow_water(land: c.LandType, do_capsnow, snl, dtime, frac_sno_eff,
+               h2osno, qflx_sub_snow, qflx_evap_grnd, qflx_dew_snow,
+               qflx_dew_grnd, qflx_rain_grnd, qflx_snomelt, qflx_snow_melt,
+               int_snow, frac_sno, h2osoi_liq, h2osoi_ice, mss,
+               dz) -> SnowWaterOut:
+    """Surface-layer frost/evaporation update + explicit meltwater
+    percolation with aerosol scavenging.
+
+    Reference: ``snow_hydrology_impl.hh:262-484`` (``snow_water``).
+    ``mss`` is a dict of the six aerosol mass arrays [ncol, NLEVSNO].
+    """
+    lev20 = jnp.arange(c.NLEVTOT)
+    top = _NSNO - snl
+    at_top = lev20[None, :] == top[:, None]
+    cap = (do_capsnow != 0)[:, None]
+
+    # --- top-layer sublimation/frost/dew update (impl:298-315) -------------
+    fse = frac_sno_eff[:, None]
+    wgdif_cap = h2osoi_ice - fse * qflx_sub_snow[:, None] * dtime
+    wgdif_nc = h2osoi_ice + fse * (qflx_dew_snow
+                                   - qflx_sub_snow)[:, None] * dtime
+    wgdif = jnp.where(cap, wgdif_cap, wgdif_nc)
+    neg = wgdif < 0.0
+    ice = jnp.where(at_top, jnp.where(neg, 0.9, wgdif), h2osoi_ice)
+    liq = h2osoi_liq + jnp.where(at_top & neg, wgdif, 0.0)
+    liq_add_cap = -fse * qflx_evap_grnd[:, None] * dtime
+    liq_add_nc = fse * (qflx_rain_grnd + qflx_dew_grnd
+                        - qflx_evap_grnd)[:, None] * dtime
+    liq = liq + jnp.where(at_top, jnp.where(cap, liq_add_cap, liq_add_nc),
+                          0.0)
+
+    # --- sequentially zero negative liquid downward (impl:317-324) ---------
+    top_liq = jnp.take_along_axis(liq, top[:, None], axis=1)[:, 0]
+    running = top_liq < 0.0
+    mflx_neg_snow = jnp.zeros_like(h2osno)
+    for i in range(_NSNO + 1):
+        in_range = i >= top
+        w = jnp.take_along_axis(liq, jnp.full_like(top[:, None], i),
+                                axis=1)[:, 0]
+        act = running & in_range
+        hit = act & (w < 0.0)
+        liq = jnp.where((lev20[None, :] == i) & hit[:, None], 0.0, liq)
+        mflx_neg_snow = jnp.where(hit, w / dtime, mflx_neg_snow)
+        running = running & hit  # stop at first non-negative layer
+
+    # --- porosity / partial volumes (impl:327-335) -------------------------
+    lev5 = _lev()
+    active5 = lev5[None, :] >= top[:, None]
+    dz5 = dz[:, :_NSNO]
+    den_i = dz5 * fse * c.DENICE
+    den_l = dz5 * fse * c.DENH2O
+    vol_ice = jnp.minimum(1.0, safe_div(ice[:, :_NSNO], den_i, den_i != 0.0))
+    eff_por = 1.0 - vol_ice
+    vol_liq = jnp.minimum(eff_por,
+                          safe_div(liq[:, :_NSNO], den_l, den_l != 0.0))
+
+    # --- downward percolation with aerosol scavenging (impl:353-461) -------
+    scv = dict(bcphi=0.20, bcpho=0.03, dst1=0.02, dst2=0.02, dst3=0.01,
+               dst4=0.01)
+    wimp, ssi = 0.05, 0.033
+
+    mss = dict(mss)
+    qin = jnp.zeros_like(h2osno)
+    qin_a = {k: jnp.zeros_like(h2osno) for k in scv}
+    qout = jnp.zeros_like(h2osno)
+    for i in range(_NSNO):
+        act = active5[:, i]
+        one = lev5[None, :] == i
+        liq = liq.at[:, i].add(jnp.where(act, qin, 0.0))
+        for k in scv:
+            mss[k] = mss[k].at[:, i].add(jnp.where(act, qin_a[k], 0.0))
+
+        if i < _NSNO - 1:
+            blocked = (eff_por[:, i] < wimp) | (eff_por[:, i + 1] < wimp)
+            q = jnp.maximum(0.0, (vol_liq[:, i] - ssi * eff_por[:, i])
+                            * dz5[:, i] * frac_sno_eff)
+            # (reference reads vol_ice[i+i] here — corrected to i+1)
+            q = jnp.minimum(q, (1.0 - vol_ice[:, i + 1] - vol_liq[:, i + 1])
+                            * dz5[:, i + 1] * frac_sno_eff)
+            q = jnp.where(blocked, 0.0, q)
+        else:
+            q = jnp.maximum(0.0, (vol_liq[:, i] - ssi * eff_por[:, i])
+                            * dz5[:, i] * frac_sno_eff)
+        q = q * 1000.0
+        liq = liq.at[:, i].add(jnp.where(act, -q, 0.0))
+        qin = jnp.where(act, q, qin)
+        qout = jnp.where(act, q, qout)
+
+        mss_liqice = jnp.maximum(liq[:, i] + ice[:, i], 1.0e-30)
+        for k in scv:
+            qa = q * scv[k] * (mss[k][:, i] / mss_liqice)
+            qa = jnp.minimum(qa, mss[k][:, i])
+            mss[k] = mss[k].at[:, i].add(jnp.where(act, -qa, 0.0))
+            qin_a[k] = jnp.where(act, qa, qin_a[k])
+
+    # --- layer thickness floor (impl:468-470) ------------------------------
+    dz_new5 = jnp.where(active5,
+                        jnp.maximum(dz5, liq[:, :_NSNO] / c.DENH2O
+                                    + ice[:, :_NSNO] / c.DENICE), dz5)
+    dz = jnp.concatenate([dz_new5, dz[:, _NSNO:]], axis=1)
+
+    # --- bottom fluxes (impl:472-483) --------------------------------------
+    has = snl > 0
+    qflx_snow_melt_n = jnp.where(has, qflx_snow_melt + qout / dtime,
+                                 qflx_snomelt)
+    qflx_top_soil = jnp.where(
+        has, (qout / dtime) + (1.0 - frac_sno_eff) * qflx_rain_grnd,
+        qflx_rain_grnd + qflx_snomelt)
+    int_snow_n = jnp.where(
+        has, int_snow + frac_sno_eff
+        * (qflx_dew_snow + qflx_dew_grnd + qflx_rain_grnd) * dtime,
+        jnp.where(h2osno <= 0.0, 0.0, int_snow))
+    frac_sno_n = jnp.where(~has & (h2osno <= 0.0), 0.0, frac_sno)
+
+    return SnowWaterOut(qflx_snow_melt_n, qflx_top_soil, int_snow_n,
+                        frac_sno_n, mflx_neg_snow, liq, ice, mss, dz)
+
+
+def compute_aerosol_deposition(dtime, snl, aero_in, mss):
+    """Deposit BC/dust fluxes into the top snow layer.
+
+    Reference: ``aerosol_physics_impl.hh:34-60``.  ``aero_in`` is a dict
+    with bcphi, bcpho, bcdep, dst1_1..dst4_2 per-column rates.
+    """
+    top = _NSNO - snl
+    onehot = (_lev()[None, :] == top[:, None]) & (snl > 0)[:, None]
+    add = {
+        "bcphi": aero_in["bcphi"],
+        "bcpho": aero_in["bcpho"] + aero_in["bcdep"],
+        "dst1": aero_in["dst1_1"] + aero_in["dst1_2"],
+        "dst2": aero_in["dst2_1"] + aero_in["dst2_2"],
+        "dst3": aero_in["dst3_1"] + aero_in["dst3_2"],
+        "dst4": aero_in["dst4_1"] + aero_in["dst4_2"],
+    }
+    return {k: mss[k] + jnp.where(onehot, (add[k] * dtime)[:, None], 0.0)
+            for k in mss}
+
+
+def update_aerosol_mass_and_concen(dtime, snl, do_capsnow, qflx_snwcp_ice,
+                                   h2osoi_ice, h2osoi_liq, mss):
+    """Snow-cap mass rescaling + concentration = mass/snowmass.
+
+    Reference: ``aerosol_physics_impl.hh:63-107``.
+    """
+    top = _NSNO - snl
+    lev = _lev()[None, :]
+    snowmass = jnp.where(lev < top[:, None], 1.e-12,
+                         h2osoi_ice[:, :_NSNO] + h2osoi_liq[:, :_NSNO])
+    at_top_cap = (lev == top[:, None]) & (do_capsnow != 0)[:, None]
+    scl = jnp.where(
+        at_top_cap,
+        snowmass / (snowmass + (qflx_snwcp_ice * dtime)[:, None]),
+        jnp.where(lev < top[:, None], 0.0, 1.0))
+    mss_new = {k: v * scl for k, v in mss.items()}
+    cnc = {k: v / snowmass for k, v in mss_new.items()}
+    return mss_new, cnc
+
+
+def aerosol_phase_change(snl, dtime, qflx_sub_snow, h2osoi_liq, h2osoi_ice,
+                         mss_bcphi, mss_bcpho):
+    """Move within-ice BC to external BC in proportion to sublimated mass
+    (top layer only).  Reference: ``snow_hydrology_impl.hh:492-543``.
+    """
+    top = _NSNO - snl
+    liq_t = jnp.take_along_axis(h2osoi_liq, top[:, None], axis=1)[:, 0]
+    ice_t = jnp.take_along_axis(h2osoi_ice, top[:, None], axis=1)[:, 0]
+    subsnow = jnp.maximum(0.0, qflx_sub_snow * dtime)
+    tot = liq_t + ice_t
+    frc_sub = jnp.where(tot > 0.0, subsnow / jnp.where(tot > 0.0, tot, 1.0),
+                        0.0)
+    frc = jnp.minimum(frc_sub, 1.0)
+    at_top = (_lev()[None, :] == top[:, None])
+    dm = jnp.where(at_top, mss_bcphi * frc[:, None], 0.0)
+    return mss_bcphi - dm, mss_bcpho + dm
+
+
+def transpiration(veg_active, qflx_tran_veg, rootr):
+    """qflx_rootsoi = rootr * qflx_tran_veg over the hydrologically active
+    soil layers (0..NLEVSOI-1 only).
+
+    Reference: ``transpiration_impl.hh`` (``trans::transpiration``).
+    """
+    lev = jnp.arange(rootr.shape[-1])[None, :]
+    m = veg_active[:, None] & (lev < c.NLEVSOI)
+    return jnp.where(m, rootr * qflx_tran_veg[:, None], 0.0)
+
+
+def snow_compaction(land: c.LandType, snl, dtime, int_snow, n_melt, frac_sno,
+                    imelt, swe_old, h2osoi_liq, h2osoi_ice, t_soisno,
+                    frac_iceold, dz):
+    """Destructive/overburden/melt metamorphism of snow layer thickness.
+
+    Reference: ``snow_hydrology_impl.hh:546-637`` (``snow_compaction``).
+    """
+    c2_, c3_, c4_, c5_ = 23.e-3, 2.777e-6, 0.04, 2.0
+    dm_ = 100.0
+    eta0 = 9.0e+5
+
+    top = _NSNO - snl
+    lev = _lev()[None, :]
+    active = lev >= top[:, None]
+
+    liq5, ice5 = h2osoi_liq[:, :_NSNO], h2osoi_ice[:, :_NSNO]
+    t5 = t_soisno[:, :_NSNO]
+    dz5 = dz[:, :_NSNO]
+    fs = frac_sno[:, None]
+    fs_safe = jnp.where(fs != 0.0, fs, 1.0)
+    dz_safe = jnp.where(dz5 != 0.0, dz5, 1.0)
+
+    wx = ice5 + liq5
+    vd = 1.0 - (ice5 / c.DENICE + liq5 / c.DENH2O) / (fs_safe * dz_safe)
+    compact = active & (vd > 0.001) & (ice5 > 0.1)
+
+    bi = ice5 / (fs_safe * dz_safe)
+    wx_safe = jnp.where(wx != 0.0, wx, 1.0)
+    fi = ice5 / wx_safe
+    td = c.TFRZ - t5
+    dexpf = jnp.exp(-c4_ * td)
+
+    ddz1 = -c3_ * dexpf
+    ddz1 = jnp.where(bi > dm_, ddz1 * jnp.exp(-46.0e-3 * (bi - dm_)), ddz1)
+    ddz1 = jnp.where(liq5 > 0.01 * dz5 * fs, ddz1 * c5_, ddz1)
+
+    # overburden: exclusive prefix sum of layer water mass from the top
+    wx_act = jnp.where(active, wx, 0.0)
+    burden = jnp.cumsum(wx_act, axis=1) - wx_act
+    ddz2 = -(burden + wx / 2.0) * jnp.exp(-0.08 * td - c2_ * bi) / eta0
+
+    # melt compaction
+    melted = imelt[:, :_NSNO] == 1
+    if c.SUBGRIDFLAG == 1 and land.ltype in (c.ISTSOIL, c.ISTCROP):
+        ddz3 = jnp.clip((swe_old - wx) / wx_safe, 0.0, 1.0)
+        wsum = jnp.sum(wx_act, axis=1)[:, None]  # only used at i == top
+        shrunk = (swe_old - wx) > 0.0
+        int_safe = jnp.where(int_snow != 0.0, int_snow, 1.0)[:, None]
+        fsno_melt = 1.0 - (jnp.arccos(
+            2.0 * jnp.minimum(1.0, jnp.where(lev == top[:, None],
+                                             wsum, 0.0) / int_safe) - 1.0)
+            / c.ELM_PI) ** n_melt[:, None]
+        ddz3 = ddz3 - jnp.where(
+            shrunk, jnp.maximum(0.0, (fsno_melt - fs) / fs_safe), 0.0)
+        ddz3 = -1.0 / dtime * ddz3
+    else:
+        fio_safe = jnp.where(frac_iceold[:, :_NSNO] != 0.0,
+                             frac_iceold[:, :_NSNO], 1.0)
+        ddz3 = (-1.0 / dtime
+                * jnp.maximum(0.0, (frac_iceold[:, :_NSNO] - fi) / fio_safe))
+    ddz3 = jnp.where(melted, ddz3, 0.0)
+
+    pdzdtc = ddz1 + ddz2 + ddz3
+    dz_comp = jnp.maximum(dz5 * (1.0 + pdzdtc * dtime),
+                          (ice5 / c.DENICE + liq5 / c.DENH2O) / fs_safe)
+    dz5_new = jnp.where(compact, dz_comp, dz5)
+    return jnp.concatenate([dz5_new, dz[:, _NSNO:]], axis=1)
+
+
+def _combine_vals(dz2, wliq2, wice2, t2, dz1, wliq1, wice1, t1):
+    """Mass/energy-conserving merge of layer 2 into layer 1.
+
+    Reference: ``snow_hydrology_impl.hh:1304-1326`` (``combine``).
+    """
+    h1 = (c.CPICE * wice1 + c.CPWAT * wliq1) * (t1 - c.TFRZ) + c.HFUS * wliq1
+    h2 = (c.CPICE * wice2 + c.CPWAT * wliq2) * (t2 - c.TFRZ) + c.HFUS * wliq2
+    wice = wice1 + wice2
+    wliq = wliq1 + wliq2
+    den = c.CPICE * wice + c.CPWAT * wliq
+    tc = c.TFRZ + (h1 + h2 - c.HFUS * wliq) / jnp.where(den != 0.0, den, 1.0)
+    return dz1 + dz2, wliq, wice, tc
+
+
+class SnowState(NamedTuple):
+    """Mutable per-layer snow state threaded through combine/divide."""
+    snl: jnp.ndarray
+    t: jnp.ndarray      # [ncol, NLEVTOT] t_soisno
+    ice: jnp.ndarray    # [ncol, NLEVTOT]
+    liq: jnp.ndarray
+    rds: jnp.ndarray    # [ncol, NLEVSNO]
+    mss: dict
+    dz: jnp.ndarray     # [ncol, NLEVTOT]
+    z: jnp.ndarray
+    zi: jnp.ndarray     # [ncol, NLEVTOT+1]
+
+
+def _shift_down(arr, m, lo, hi, width):
+    """Where mask m: arr[p] = arr[p-1] for p in (lo, hi] (per-column bounds),
+    over the first `width` positions."""
+    lev = jnp.arange(width)[None, :]
+    prev = jnp.concatenate([arr[:, :1], arr[:, :width - 1]], axis=1)
+    sel = m[:, None] & (lev > lo[:, None]) & (lev <= hi[:, None])
+    return jnp.concatenate(
+        [jnp.where(sel, prev, arr[:, :width]), arr[:, width:]], axis=1)
+
+
+class CombineOut(NamedTuple):
+    state: SnowState
+    h2osno: jnp.ndarray
+    snow_depth: jnp.ndarray
+    frac_sno_eff: jnp.ndarray
+    frac_sno: jnp.ndarray
+    int_snow: jnp.ndarray
+    qflx_sl_top_soil: jnp.ndarray
+    qflx_snow2topsoi: jnp.ndarray
+    mflx_snowlyr_col: jnp.ndarray
+
+
+def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
+                   snow_depth, frac_sno_eff, frac_sno,
+                   int_snow) -> CombineOut:
+    """Remove near-zero-ice layers, dissolve too-shallow packs, and merge
+    below-minimum-thickness layers with neighbors.
+
+    Reference: ``snow_hydrology_impl.hh:648-897`` (``combine_layers``).
+    Each sequential C++ pass becomes a static unroll over the 5 snow
+    positions with per-column masks and live ``snl``.
+    """
+    dzmin = jnp.array([0.010, 0.015, 0.025, 0.055, 0.115])
+    soil_like = (land.ltype in (c.ISTSOIL, c.ISTCROP)) or land.urbpoi
+
+    snl = st.snl
+    t, ice, liq = st.t, st.ice, st.liq
+    rds, mss, dz, z, zi = st.rds, dict(st.mss), st.dz, st.z, st.zi
+    lev20 = jnp.arange(c.NLEVTOT)[None, :]
+    lev5 = _lev()[None, :]
+
+    qflx_sl_top_soil = jnp.zeros_like(h2osno)
+    qflx_snow2topsoi = jnp.zeros_like(h2osno)
+    mflx_snowlyr_col = jnp.zeros_like(h2osno)
+
+    # ---- pass 1: eliminate layers with ice <= 0.01 (impl:689-756) ---------
+    top_old = _NSNO - snl
+    for i in range(_NSNO):
+        m = (i >= top_old) & (ice[:, i] <= 0.01)
+        liq_i = liq[:, i]  # pre-merge values at position i
+        ice_i = ice[:, i]
+        # merge mass into the layer below (soil-like land units always)
+        if soil_like:
+            liq = liq.at[:, i + 1].add(jnp.where(m, liq_i, 0.0))
+            ice = ice.at[:, i + 1].add(jnp.where(m, ice_i, 0.0))
+            if i == _NSNO - 1:
+                q = jnp.where(m, (liq_i + ice_i) / dtime, 0.0)
+                qflx_sl_top_soil = jnp.where(m, q, qflx_sl_top_soil)
+                mflx_snowlyr_col = mflx_snowlyr_col + q
+            else:
+                dz = dz.at[:, i + 1].add(jnp.where(m, dz[:, i], 0.0))
+                for k in mss:
+                    mss[k] = mss[k].at[:, i + 1].add(
+                        jnp.where(m, mss[k][:, i], 0.0))
+        # shift elements above down one
+        topc = _NSNO - snl
+        do_shift = m & (i > topc) & (snl > 1)
+        lo = topc
+        hi = jnp.full_like(topc, i)
+        t = _shift_down(t, do_shift, lo, hi, _NSNO)
+        liq = _shift_down(liq, do_shift, lo, hi, _NSNO)
+        ice = _shift_down(ice, do_shift, lo, hi, _NSNO)
+        dz = _shift_down(dz, do_shift, lo, hi, _NSNO)
+        rds = _shift_down(rds, do_shift, lo, hi, _NSNO)
+        for k in mss:
+            mss[k] = _shift_down(mss[k], do_shift, lo, hi, _NSNO)
+        snl = jnp.where(m, snl - 1, snl)
+
+    # ---- totals (impl:758-769) --------------------------------------------
+    active5 = lev5 >= (_NSNO - snl)[:, None]
+    h2osno_n = jnp.sum(jnp.where(active5, ice[:, :_NSNO] + liq[:, :_NSNO],
+                                 0.0), axis=1)
+    snow_depth_n = jnp.sum(jnp.where(active5, dz[:, :_NSNO], 0.0), axis=1)
+    zwice = jnp.sum(jnp.where(active5, ice[:, :_NSNO], 0.0), axis=1)
+    zwliq = jnp.sum(jnp.where(active5, liq[:, :_NSNO], 0.0), axis=1)
+
+    # ---- dissolve too-shallow packs (impl:775-800) ------------------------
+    fse_safe = jnp.where(frac_sno_eff * snow_depth_n != 0.0,
+                         frac_sno_eff * snow_depth_n, 1.0)
+    gone = (snow_depth_n > 0.0) & (
+        (frac_sno_eff * snow_depth_n < 0.01) | (h2osno_n / fse_safe < 50.0))
+    snl = jnp.where(gone, 0, snl)
+    h2osno_n = jnp.where(gone, zwice, h2osno_n)
+    for k in mss:
+        mss[k] = jnp.where(gone[:, None], 0.0, mss[k])
+    snow_depth_n = jnp.where(gone & (h2osno_n <= 0.0), 0.0, snow_depth_n)
+    if soil_like:
+        liq = liq.at[:, _NSNO - 1].set(
+            jnp.where(gone, 0.0, liq[:, _NSNO - 1]))
+        liq = liq.at[:, _NSNO].add(jnp.where(gone, zwliq, 0.0))
+        qflx_snow2topsoi = jnp.where(gone, zwliq / dtime, qflx_snow2topsoi)
+        mflx_snowlyr_col = mflx_snowlyr_col + jnp.where(gone, zwliq / dtime,
+                                                        0.0)
+
+    none_left = h2osno_n <= 0.0
+    snow_depth_n = jnp.where(none_left, 0.0, snow_depth_n)
+    frac_sno_n = jnp.where(none_left, 0.0, frac_sno)
+    frac_sno_eff_n = jnp.where(none_left, 0.0, frac_sno_eff)
+    int_snow_n = jnp.where(none_left, 0.0, int_snow)
+
+    # ---- merge below-minimum layers (impl:813-890) ------------------------
+    mssi = jnp.zeros_like(snl)
+    stop = snl <= 1
+    top_old2 = _NSNO - snl
+    for i in range(_NSNO):
+        fse = frac_sno_eff_n
+        fse_dz = fse * dz[:, i]
+        fse_dz_safe = jnp.where(fse_dz != 0.0, fse_dz, 1.0)
+        thin = ((fse_dz < dzmin[jnp.clip(mssi, 0, 4)])
+                | ((ice[:, i] + liq[:, i]) / fse_dz_safe < 50.0))
+        m = (~stop) & (i >= top_old2) & thin
+
+        topc = _NSNO - snl
+        # neighbor selection (impl:823-834)
+        if i == 0:
+            nb_down = jnp.ones_like(m)
+        elif i == _NSNO - 1:
+            nb_down = jnp.zeros_like(m)
+        else:
+            at_topc = i == topc
+            dz_im1 = dz[:, i - 1] + dz[:, i]
+            dz_ip1 = dz[:, i + 1] + dz[:, i]
+            nb_down = at_topc | ~(dz_im1 < dz_ip1)
+        # nb_down: combine with i+1 (j=i+1, l=i); else j=i, l=i-1
+        jidx = jnp.where(nb_down, i + 1, i)
+        lidx = jnp.where(nb_down, i, i - 1)
+
+        def gat(a, idx):
+            return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+
+        wl_j, wl_l = gat(liq, jidx), gat(liq, lidx)
+        wi_j, wi_l = gat(ice, jidx), gat(ice, lidx)
+        t_j, t_l = gat(t, jidx), gat(t, lidx)
+        dz_j, dz_l = gat(dz, jidx), gat(dz, lidx)
+        rds_j, rds_l = gat(rds, jidx), gat(rds, lidx)
+
+        tot = wl_j + wi_j + wl_l + wi_l
+        rds_new = (rds_j * (wl_j + wi_j) + rds_l * (wl_l + wi_l)) / jnp.where(
+            tot != 0.0, tot, 1.0)
+        dz_new, wl_new, wi_new, t_new = _combine_vals(
+            dz_l, wl_l, wi_l, t_l, dz_j, wl_j, wi_j, t_j)
+
+        onehot_j = (lev20 == jidx[:, None]) & m[:, None]
+        onehot_j5 = (lev5 == jidx[:, None]) & m[:, None]
+        liq = jnp.where(onehot_j, wl_new[:, None], liq)
+        ice = jnp.where(onehot_j, wi_new[:, None], ice)
+        t = jnp.where(onehot_j, t_new[:, None], t)
+        dz = jnp.where(onehot_j, dz_new[:, None], dz)
+        rds = jnp.where(onehot_j5, rds_new[:, None], rds)
+        for k in mss:
+            m_j, m_l = gat(mss[k], jidx), gat(mss[k], lidx)
+            mss[k] = jnp.where(onehot_j5, (m_j + m_l)[:, None], mss[k])
+
+        # shift above down one (impl:865-879): k from j-1 down to top
+        do_shift = m & ((jidx - 1) > topc)
+        lo = topc - 1  # reference shifts down to k == nlevsno-snl inclusive
+        hi = jidx - 1
+        t = _shift_down(t, do_shift, lo, hi, _NSNO)
+        liq = _shift_down(liq, do_shift, lo, hi, _NSNO)
+        ice = _shift_down(ice, do_shift, lo, hi, _NSNO)
+        dz = _shift_down(dz, do_shift, lo, hi, _NSNO)
+        rds = _shift_down(rds, do_shift, lo, hi, _NSNO)
+        for k in mss:
+            mss[k] = _shift_down(mss[k], do_shift, lo, hi, _NSNO)
+
+        snl = jnp.where(m, snl - 1, snl)
+        stop = stop | (m & (snl <= 1))
+        mssi = jnp.where((~stop) & (i >= top_old2) & ~m, mssi + 1, mssi)
+
+    # ---- reset node depths/interfaces (impl:893-896) ----------------------
+    z, zi = _rebuild_snow_mesh(snl, dz, z, zi)
+
+    return CombineOut(
+        SnowState(snl, t, ice, liq, rds, mss, dz, z, zi), h2osno_n,
+        snow_depth_n, frac_sno_eff_n, frac_sno_n, int_snow_n,
+        qflx_sl_top_soil, qflx_snow2topsoi, mflx_snowlyr_col)
+
+
+def _rebuild_snow_mesh(snl, dz, z, zi):
+    """z(i) = zi(i+1) - dz/2, zi(i) = zi(i+1) - dz, from bottom snow up."""
+    top = _NSNO - snl
+    z_new, zi_new = z, zi
+    for i in range(_NSNO - 1, -1, -1):
+        act = (i >= top)
+        zval = zi_new[:, i + 1] - 0.5 * dz[:, i]
+        zival = zi_new[:, i + 1] - dz[:, i]
+        z_new = z_new.at[:, i].set(jnp.where(act, zval, z_new[:, i]))
+        zi_new = zi_new.at[:, i].set(jnp.where(act, zival, zi_new[:, i]))
+    return z_new, zi_new
+
+
+def divide_layers(frac_sno, st: SnowState) -> SnowState:
+    """Subdivide too-thick snow layers (fixed ELM case ladder).
+
+    Reference: ``snow_hydrology_impl.hh:907-1285`` (``divide_layers``).
+    Operates on top-anchored scratch arrays exactly as the reference does.
+    """
+    snl = st.snl
+    top = _NSNO - snl
+    fs = frac_sno
+    fs_safe = jnp.where(fs != 0.0, fs, 1.0)
+
+    # gather to top-anchored layout: index k holds layer top+k
+    idx = jnp.clip(top[:, None] + _lev()[None, :], 0, _NSNO - 1)
+    in_range = _lev()[None, :] < snl[:, None]
+
+    def g20(a):
+        return jnp.where(in_range,
+                         jnp.take_along_axis(a[:, :_NSNO], idx, axis=1), 0.0)
+
+    dzs = g20(st.dz) * fs[:, None]
+    swice = g20(st.ice)
+    swliq = g20(st.liq)
+    tsno = g20(st.t)
+    rds = jnp.where(in_range, jnp.take_along_axis(st.rds, idx, axis=1), 0.0)
+    ms = {k: jnp.where(in_range, jnp.take_along_axis(v, idx, axis=1), 0.0)
+          for k, v in st.mss.items()}
+    msno = snl
+
+    def halve(arrs, src, dst):
+        out = []
+        for a in arrs:
+            half = a[:, src] / 2.0
+            a = a.at[:, src].set(half).at[:, dst].set(half)
+            out.append(a)
+        return out
+
+    # ---- msno == 1, dz > 0.03: split top layer (impl:962-986) -------------
+    m1 = (msno == 1) & (dzs[:, 0] > 0.03)
+    def split1(dzs, swice, swliq, tsno, rds, ms, msno):
+        sel = m1[:, None]
+        def hv(a, copy_t=False):
+            half = a[:, 0] / 2.0
+            return jnp.where(
+                sel, a.at[:, 0].set(half).at[:, 1].set(half), a)
+        dzs = hv(dzs)
+        swice = hv(swice)
+        swliq = hv(swliq)
+        tsno = jnp.where(sel, tsno.at[:, 1].set(tsno[:, 0]), tsno)
+        rds = jnp.where(sel, rds.at[:, 1].set(rds[:, 0]), rds)
+        ms = {k: hv(v) for k, v in ms.items()}
+        return dzs, swice, swliq, tsno, rds, ms, jnp.where(m1, 2, msno)
+    dzs, swice, swliq, tsno, rds, ms, msno = split1(
+        dzs, swice, swliq, tsno, rds, ms, msno)
+
+    # ---- generic "trim layer k to dmax, push excess into k+1, then maybe
+    #      split k+1" steps of the ladder --------------------------------
+    def trim_and_split(k, dmax, split_cond_msno, split_thresh, dzs, swice,
+                       swliq, tsno, rds, ms, msno):
+        thick = (msno > k + 1) & (dzs[:, k] > dmax)
+        dz_k = jnp.where(dzs[:, k] != 0.0, dzs[:, k], 1.0)
+        drr = dzs[:, k] - dmax
+        propor_x = drr / dz_k
+        zwice = propor_x * swice[:, k]
+        zwliq = propor_x * swliq[:, k]
+        zms = {kk: propor_x * v[:, k] for kk, v in ms.items()}
+        propor = dmax / dz_k
+
+        sel = thick[:, None]
+        swice = jnp.where(sel, swice.at[:, k].mul(propor), swice)
+        swliq = jnp.where(sel, swliq.at[:, k].mul(propor), swliq)
+        ms = {kk: jnp.where(sel, v.at[:, k].mul(propor)
+                            .at[:, k + 1].add(zms[kk]), v)
+              for kk, v in ms.items()}
+        dzs = jnp.where(sel, dzs.at[:, k].set(dmax), dzs)
+
+        tot = swliq[:, k + 1] + swice[:, k + 1] + zwliq + zwice
+        rds_next = (rds[:, k + 1] * (swliq[:, k + 1] + swice[:, k + 1])
+                    + rds[:, k] * (zwliq + zwice)) / jnp.where(
+            tot != 0.0, tot, 1.0)
+        rds = jnp.where(sel, rds.at[:, k + 1].set(rds_next), rds)
+
+        dz_n, wl_n, wi_n, t_n = _combine_vals(
+            drr, zwliq, zwice, tsno[:, k], dzs[:, k + 1], swliq[:, k + 1],
+            swice[:, k + 1], tsno[:, k + 1])
+        dzs = jnp.where(sel, dzs.at[:, k + 1].set(dz_n), dzs)
+        swliq = jnp.where(sel, swliq.at[:, k + 1].set(wl_n), swliq)
+        swice = jnp.where(sel, swice.at[:, k + 1].set(wi_n), swice)
+        tsno = jnp.where(sel, tsno.at[:, k + 1].set(t_n), tsno)
+
+        if split_thresh is not None:
+            # subdivide layer k+1 (impl: "Subdivide a new layer")
+            msplit = thick & (msno <= split_cond_msno) & (
+                dzs[:, k + 1] > split_thresh)
+            sel2 = msplit[:, None]
+            dtdz = ((tsno[:, k] - tsno[:, k + 1])
+                    / ((dzs[:, k] + dzs[:, k + 1]) / 2.0))
+            half_dz = dzs[:, k + 1] / 2.0
+            dzs = jnp.where(sel2,
+                            dzs.at[:, k + 1].set(half_dz)
+                            .at[:, k + 2].set(half_dz), dzs)
+            half_i = swice[:, k + 1] / 2.0
+            swice = jnp.where(sel2, swice.at[:, k + 1].set(half_i)
+                              .at[:, k + 2].set(half_i), swice)
+            half_l = swliq[:, k + 1] / 2.0
+            swliq = jnp.where(sel2, swliq.at[:, k + 1].set(half_l)
+                              .at[:, k + 2].set(half_l), swliq)
+            t_low = tsno[:, k + 1] - dtdz * dzs[:, k + 1] / 2.0
+            # the reference's warm check is inconsistent across ladder
+            # steps (impl:1041 checks the new lower layer, impl:1118 the
+            # upper, impl:1194 the lower again) — replicate exactly
+            if k == 1:
+                warm = tsno[:, k + 1] >= c.TFRZ
+            else:
+                warm = t_low >= c.TFRZ
+            tsno = jnp.where(
+                sel2,
+                tsno.at[:, k + 2].set(
+                    jnp.where(warm, tsno[:, k + 1], t_low))
+                .at[:, k + 1].set(
+                    jnp.where(warm, tsno[:, k + 1],
+                              tsno[:, k + 1] + dtdz * dzs[:, k + 1] / 2.0)),
+                tsno)
+            ms = {kk: jnp.where(
+                sel2, v.at[:, k + 1].set(v[:, k + 1] / 2.0)
+                .at[:, k + 2].set(v[:, k + 1] / 2.0), v)
+                for kk, v in ms.items()}
+            rds = jnp.where(sel2, rds.at[:, k + 2].set(rds[:, k + 1]), rds)
+            msno = jnp.where(msplit, k + 3, msno)
+        return dzs, swice, swliq, tsno, rds, ms, msno
+
+    dzs, swice, swliq, tsno, rds, ms, msno = trim_and_split(
+        0, 0.02, 2, 0.07, dzs, swice, swliq, tsno, rds, ms, msno)
+    dzs, swice, swliq, tsno, rds, ms, msno = trim_and_split(
+        1, 0.05, 3, 0.18, dzs, swice, swliq, tsno, rds, ms, msno)
+    dzs, swice, swliq, tsno, rds, ms, msno = trim_and_split(
+        2, 0.11, 4, 0.41, dzs, swice, swliq, tsno, rds, ms, msno)
+    dzs, swice, swliq, tsno, rds, ms, msno = trim_and_split(
+        3, 0.23, 99, None, dzs, swice, swliq, tsno, rds, ms, msno)
+
+    # ---- scatter back to combined layout (impl:1263-1284) -----------------
+    snl_new = msno
+    top_new = _NSNO - snl_new
+    back = _lev()[None, :] - top_new[:, None]  # top-anchored index per pos
+    valid = back >= 0
+    backc = jnp.clip(back, 0, _NSNO - 1)
+
+    def scat(comb, anch, width=_NSNO):
+        gathered = jnp.take_along_axis(anch, backc, axis=1)
+        out = jnp.where(valid, gathered, comb[:, :width])
+        return jnp.concatenate([out, comb[:, width:]], axis=1)
+
+    dz_new = scat(st.dz, dzs / fs_safe[:, None])
+    ice_new = scat(st.ice, swice)
+    liq_new = scat(st.liq, swliq)
+    t_new = scat(st.t, tsno)
+    rds_new = jnp.where(valid, jnp.take_along_axis(rds, backc, axis=1),
+                        st.rds)
+    mss_new = {k: jnp.where(valid, jnp.take_along_axis(ms[k], backc, axis=1),
+                            st.mss[k]) for k in ms}
+
+    z_new, zi_new = _rebuild_snow_mesh(snl_new, dz_new, st.z, st.zi)
+    return SnowState(snl_new, t_new, ice_new, liq_new, rds_new, mss_new,
+                     dz_new, z_new, zi_new)
+
+
+def prune_snow_layers(st: SnowState) -> SnowState:
+    """Zero all inactive snow layers.  Reference: impl:1330-1351."""
+    top = _NSNO - st.snl
+    lev5 = _lev()[None, :]
+    inact5 = lev5 < top[:, None]
+    lev20 = jnp.arange(c.NLEVTOT)[None, :]
+    inact20 = lev20 < top[:, None]
+    lev21 = jnp.arange(c.NLEVTOT + 1)[None, :]
+    inact21 = lev21 < top[:, None]
+    return SnowState(
+        st.snl,
+        jnp.where(inact20, 0.0, st.t),
+        jnp.where(inact20, 0.0, st.ice),
+        jnp.where(inact20, 0.0, st.liq),
+        st.rds, st.mss,
+        jnp.where(inact20, 0.0, st.dz),
+        jnp.where(inact20, 0.0, st.z),
+        jnp.where(inact21, 0.0, st.zi))
+
+
+def snow_aging(do_capsnow, snl, frac_sno, dtime, qflx_snwcp_ice,
+               qflx_snow_grnd, h2osno, dz, h2osoi_liq, h2osoi_ice, t_soisno,
+               qflx_snofrz_lyr, snowage_tau, snowage_kappa, snowage_drdt0,
+               snw_rds):
+    """Snow effective-radius evolution (Flanner & Zender 2006 lookup +
+    Brun 1989 wet growth + refreeze), with the reference's final clamp
+    behavior replicated exactly (both bounds clamp to SNW_RDS_MIN,
+    ``snow_hydrology_impl.hh:217-223`` — the upper clamp looks like a
+    reference bug but is kept for parity).
+
+    Tables are [11, 31, 8] over (T, dT/dz, rho) indices.
+    """
+    top = _NSNO - snl
+    lev = _lev()[None, :]
+    active = (lev >= top[:, None]) & (snl > 0)[:, None]
+    at_top = lev == top[:, None]
+
+    liq5, ice5 = h2osoi_liq[:, :_NSNO], h2osoi_ice[:, :_NSNO]
+    t5 = t_soisno[:, :_NSNO]
+    dz5 = dz[:, :_NSNO]
+    fs = frac_sno[:, None]
+
+    h2osno_lyr = liq5 + ice5
+    h2osno_lyr_safe = jnp.where(h2osno_lyr != 0.0, h2osno_lyr, 1.0)
+
+    # boundary temperatures (impl:100-107)
+    t_m1 = jnp.concatenate([t5[:, :1], t5[:, :-1]], axis=1)
+    dz_m1 = jnp.concatenate([dz5[:, :1], dz5[:, :-1]], axis=1)
+    t_p1 = jnp.concatenate([t5[:, 1:], t_soisno[:, _NSNO:_NSNO + 1]], axis=1)
+    dz_p1 = jnp.concatenate([dz5[:, 1:], dz[:, _NSNO:_NSNO + 1]], axis=1)
+    den_b = jnp.where(dz5 + dz_p1 != 0.0, dz5 + dz_p1, 1.0)
+    den_t = jnp.where(dz5 + dz_m1 != 0.0, dz5 + dz_m1, 1.0)
+    t_top_itf = jnp.where(at_top,
+                          jnp.take_along_axis(
+                              t_soisno, jnp.clip(top, 0, _NSNO - 1)[:, None],
+                              axis=1),
+                          (t_m1 * dz5 + t5 * dz_m1) / den_t)
+    t_btm_itf = (t_p1 * dz5 + t5 * dz_p1) / den_b
+
+    cdz = fs * dz5
+    cdz_safe = jnp.where(cdz != 0.0, cdz, 1.0)
+    dTdz = jnp.abs((t_top_itf - t_btm_itf) / cdz_safe)
+    rhos = jnp.maximum(50.0, h2osno_lyr / cdz_safe)
+
+    T_idx = jnp.clip(jnp.rint((t5 - 223.0) / 5.0).astype(jnp.int32), 0,
+                     IDX_T_MAX)
+    Tgrd_idx = jnp.clip(jnp.rint(dTdz / 10.0).astype(jnp.int32), 0,
+                        IDX_TGRD_MAX)
+    rhos_idx = jnp.clip(jnp.rint((rhos - 50.0) / 50.0).astype(jnp.int32), 0,
+                        IDX_RHOS_MAX)
+
+    bst_tau = snowage_tau[T_idx, Tgrd_idx, rhos_idx]
+    bst_kappa = snowage_kappa[T_idx, Tgrd_idx, rhos_idx]
+    bst_drdt0 = snowage_drdt0[T_idx, Tgrd_idx, rhos_idx]
+
+    dr_fresh = snw_rds - c.SNW_RDS_MIN
+    dr_fresh = jnp.where(jnp.abs(dr_fresh) < 1.0e-8, 0.0, dr_fresh)
+    kappa_safe = jnp.where(bst_kappa != 0.0, bst_kappa, 1.0)
+    dr = (bst_drdt0 * (bst_tau / (dr_fresh + bst_tau))
+          ** (1.0 / kappa_safe)) * (dtime / 3600.0)
+
+    frc_liq = jnp.minimum(0.1, liq5 / h2osno_lyr_safe)
+    rds_safe = jnp.where(snw_rds != 0.0, snw_rds, 1.0)
+    dr_wet = 1.0e18 * (dtime * (4.22e-13 * frc_liq ** 3.0)
+                       / (4.0 * c.ELM_PI * rds_safe ** 2.0))
+    dr = dr + dr_wet
+
+    newsnow = jnp.maximum(0.0, jnp.where(do_capsnow != 0, qflx_snwcp_ice,
+                                         qflx_snow_grnd) * dtime)
+    refrzsnow = jnp.maximum(0.0, qflx_snofrz_lyr * dtime)
+    frc_refrz = refrzsnow / h2osno_lyr_safe
+    frc_newsnow = jnp.where(at_top, newsnow[:, None] / h2osno_lyr_safe, 0.0)
+    over = (frc_refrz + frc_newsnow) > 1.0
+    tot = jnp.where(frc_refrz + frc_newsnow != 0.0,
+                    frc_refrz + frc_newsnow, 1.0)
+    frc_refrz = jnp.where(over, frc_refrz / tot, frc_refrz)
+    frc_newsnow = jnp.where(over, 1.0 - frc_refrz, frc_newsnow)
+    frc_oldsnow = jnp.where(over, 0.0, 1.0 - frc_refrz - frc_newsnow)
+
+    rds_new = ((snw_rds + dr) * frc_oldsnow + c.SNW_RDS_MIN * frc_newsnow
+               + 1000.0 * frc_refrz)
+    # reference clamps BOTH bounds to SNW_RDS_MIN (impl:217-223)
+    rds_new = jnp.where(rds_new < c.SNW_RDS_MIN, c.SNW_RDS_MIN, rds_new)
+    rds_new = jnp.where(rds_new > c.SNW_RDS_MIN, c.SNW_RDS_MIN, rds_new)
+
+    out = jnp.where(active, rds_new, jnp.where((snl > 0)[:, None], 0.0,
+                                               snw_rds))
+    # thin snow without layers: fresh-snow radius in the bottom slot
+    thin = (snl == 0) & (h2osno > 0.0)
+    out = jnp.where(thin[:, None] & (lev == _NSNO - 1), c.SNW_RDS_MIN, out)
+    return out
