@@ -1,0 +1,197 @@
+"""Atmospheric forcing and phenology providers.
+
+Replaces the reference's ``AtmDataManager``/``PhenologyDataManager``
+(``/root/reference/src/data/atm_data.h``, ``phenology_data.h``): a provider
+yields, per step, the *raw* bracketing forcing samples plus interpolation
+weights; the derived-forcing physics runs on device inside the step.
+
+Time-interpolation semantics follow the reference
+(``atm_data.h:23-78``): point data (TBOT/PBOT/QBOT/FLDS/WIND) is linearly
+interpolated to the dt midpoint between the bracketing forcing samples;
+flux data (FSDS/PREC) is piecewise constant over the forcing interval.
+
+Two providers:
+
+- :class:`SyntheticForcing` — analytic diurnal/seasonal cycles, used for
+  driver tests and benchmarking (the reference ships no forcing NetCDF).
+- :class:`NetCDFForcing` — reads the reference's month-per-file layout
+  (``basenameYYYY-MM.nc``) via scipy (NetCDF classic), keeping a windowed
+  [ntimes, ncol] host buffer per variable like ``AtmDataManager``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from elmkernels_tpu.data.state import StepForcing, StepPhenology
+from elmkernels_tpu.physics import solar
+from elmkernels_tpu.utils.dates import Date, monthly_data_weights, \
+    month_indices
+
+
+@dataclasses.dataclass
+class SyntheticForcing:
+    """Analytic forcing: seasonal + diurnal temperature cycle, periodic
+    precipitation events, clear-sky-ish shortwave."""
+    ncol: int
+    lat_r: np.ndarray
+    lon_r: np.ndarray
+    dt_forcing: float = 3600.0  # forcing data interval [s]
+
+    def _sample_point(self, tsec: np.ndarray):
+        """Point-data variables at forcing time tsec [s since year 0]."""
+        doy = (tsec / 86400.0) % 365.0
+        hour = (tsec / 3600.0) % 24.0
+        seasonal = -12.0 * np.cos(2.0 * np.pi * doy / 365.0)
+        diurnal = 6.0 * np.sin(2.0 * np.pi * (hour - 9.0) / 24.0)
+        tbot = 278.0 + seasonal + diurnal + 0.0 * self.lat_r
+        pbot = 98000.0 + 500.0 * np.sin(2.0 * np.pi * doy / 29.0) \
+            + 0.0 * self.lat_r
+        qbot = np.maximum(1.0e-4, 0.004 + 0.003
+                          * np.sin(2.0 * np.pi * doy / 365.0))
+        qbot = qbot + 0.0 * self.lat_r
+        flds = 220.0 + 60.0 * np.cos(2.0 * np.pi * (doy - 200.0) / 365.0) \
+            + 0.0 * self.lat_r
+        wind = 3.0 + 2.0 * np.sin(2.0 * np.pi * doy / 13.0) + 0.0 * self.lat_r
+        return tbot, pbot, qbot, flds, wind
+
+    def _sample_flux(self, tsec: np.ndarray):
+        doy = (tsec / 86400.0) % 365.0
+        hour = (tsec / 3600.0) % 24.0
+        sun = np.maximum(0.0, np.sin(np.pi * (hour - 6.0) / 12.0))
+        fsds = 600.0 * sun * (0.6 + 0.4 * np.sin(2.0 * np.pi * doy / 365.0))
+        fsds = fsds + 0.0 * self.lat_r
+        # precipitation: episodic, a few mm/day equivalent
+        wet = (np.floor(doy * 3.0) % 7.0) < 2.0
+        prec = np.where(wet, 2.5e-5, 0.0) + 0.0 * self.lat_r
+        return fsds, prec
+
+    def window(self, date: Date, dtime: float) -> StepForcing:
+        """Raw bracketing samples + weights for the step starting at
+        ``date`` (point data interpolated at t + dt/2)."""
+        tsec = (date.year * 365.0 + date.doy) * 86400.0 + date.sec
+        tmid = tsec + 0.5 * dtime
+        i0 = np.floor(tmid / self.dt_forcing)
+        t0 = i0 * self.dt_forcing
+        wt2 = (tmid - t0) / self.dt_forcing
+        wt1 = 1.0 - wt2
+
+        p0 = self._sample_point(np.asarray(t0))
+        p1 = self._sample_point(np.asarray(t0 + self.dt_forcing))
+        fsds, prec = self._sample_flux(np.asarray(t0))
+
+        decday = date.decimal_doy() + 1.0
+        coszen = np.asarray(
+            solar.average_cosz(self.lat_r, self.lon_r, dtime, decday))
+        max_dayl = np.asarray(solar.max_daylength(self.lat_r))
+        decl = solar.declination_angle_sin(date.doy + 1)
+        dayl = np.asarray(solar.daylength(self.lat_r, decl))
+
+        return StepForcing(
+            wt1=wt1, wt2=wt2,
+            tbot=np.stack([p0[0], p1[0]]), pbot=np.stack([p0[1], p1[1]]),
+            qbot=np.stack([p0[2], p1[2]]), flds=np.stack([p0[3], p1[3]]),
+            wind=np.stack([p0[4], p1[4]]), fsds=fsds, prec=prec,
+            coszen=coszen, max_dayl=max_dayl, dayl=dayl)
+
+
+@dataclasses.dataclass
+class SyntheticPhenology:
+    """Monthly LAI/SAI/height climatology with a seasonal cycle."""
+    ncol: int
+
+    def monthly(self, m: int):
+        phase = np.cos(2.0 * np.pi * (m - 6.5) / 12.0)
+        lai = np.full(self.ncol, 1.0 + 2.0 * max(0.0, phase))
+        sai = np.full(self.ncol, 0.3 + 0.2 * max(0.0, phase))
+        htop = np.full(self.ncol, 0.5)
+        hbot = np.full(self.ncol, 0.01)
+        return lai, sai, htop, hbot
+
+    def window(self, date: Date) -> StepPhenology:
+        m1, m2 = month_indices(date)
+        wt1, wt2 = monthly_data_weights(date)
+        a = self.monthly(m1)
+        b = self.monthly(m2)
+        return StepPhenology(
+            wt1=wt1, wt2=wt2,
+            mlai=np.stack([a[0], b[0]]), msai=np.stack([a[1], b[1]]),
+            mhtop=np.stack([a[2], b[2]]), mhbot=np.stack([a[3], b[3]]))
+
+
+class NetCDFForcing:
+    """Reference-format forcing reader: month-per-file NetCDF, windowed
+    host buffers (reference: ``atm_data_impl.hh:248-319``).
+
+    File layout: ``<basename>YYYY-MM.nc`` with variables named like the
+    reference's (TBOT/PBOT/QBOT or RH/FLDS/FSDS/PRECTmms/WIND) with dims
+    (DTIME, lat, lon) or (DTIME, gridcell); DTIME in days since the file
+    start.  Cells are flattened in C order and sliced [col0, col0+ncol).
+    """
+
+    VAR_NAMES = {"tbot": "TBOT", "pbot": "PBOT", "qbot": "QBOT",
+                 "flds": "FLDS", "wind": "WIND", "fsds": "FSDS",
+                 "prec": "PRECTmms"}
+
+    def __init__(self, basename: str, ncol: int, lat_r, lon_r,
+                 col0: int = 0):
+        self.basename = basename
+        self.ncol = ncol
+        self.col0 = col0
+        self.lat_r = np.asarray(lat_r)
+        self.lon_r = np.asarray(lon_r)
+        self._cache: dict[tuple[int, int], dict] = {}
+
+    def _load_month(self, year: int, month: int) -> dict:
+        key = (year, month)
+        if key in self._cache:
+            return self._cache[key]
+        from scipy.io import netcdf_file
+        path = f"{self.basename}{year:04d}-{month:02d}.nc"
+        f = netcdf_file(path, mmap=False)
+        data = {"dtime": np.asarray(f.variables["DTIME"][:], np.float64)}
+        for k, vname in self.VAR_NAMES.items():
+            v = f.variables[vname]
+            arr = np.asarray(v[:], np.float64)
+            scale = float(getattr(v, "scale_factor", 1.0))
+            off = float(getattr(v, "add_offset", 0.0))
+            arr = arr * scale + off
+            arr = arr.reshape(arr.shape[0], -1)
+            data[k] = arr[:, self.col0:self.col0 + self.ncol]
+        self._cache[key] = data
+        # keep at most two months resident (double-buffer semantics)
+        if len(self._cache) > 2:
+            self._cache.pop(next(iter(self._cache)))
+        return data
+
+    def window(self, date: Date, dtime: float) -> StepForcing:
+        y, m, d = date.date()
+        data = self._load_month(y, m)
+        dt_forc = ((data["dtime"][1] - data["dtime"][0]) * 86400.0
+                   if len(data["dtime"]) > 1 else 86400.0)
+        file_start_doy = Date.from_ymd(y, m, 1).doy
+        tmid = (date.doy - file_start_doy) * 86400.0 + date.sec \
+            + 0.5 * dtime
+        idx = int(np.clip(np.floor(tmid / dt_forc), 0,
+                          len(data["dtime"]) - 2))
+        t0 = idx * dt_forc
+        wt2 = float((tmid - t0) / dt_forc)
+        wt1 = 1.0 - wt2
+
+        decday = date.decimal_doy() + 1.0
+        coszen = np.asarray(
+            solar.average_cosz(self.lat_r, self.lon_r, dtime, decday))
+        max_dayl = np.asarray(solar.max_daylength(self.lat_r))
+        decl = solar.declination_angle_sin(date.doy + 1)
+        dayl = np.asarray(solar.daylength(self.lat_r, decl))
+        return StepForcing(
+            wt1=wt1, wt2=wt2,
+            tbot=data["tbot"][idx:idx + 2],
+            pbot=data["pbot"][idx:idx + 2],
+            qbot=data["qbot"][idx:idx + 2],
+            flds=data["flds"][idx:idx + 2],
+            wind=data["wind"][idx:idx + 2],
+            fsds=data["fsds"][idx], prec=data["prec"][idx],
+            coszen=coszen, max_dayl=max_dayl, dayl=dayl)

@@ -1,0 +1,187 @@
+"""Parameter loading: PFT traits, SNICAR optics tables, soil-color albedo
+tables, and default ModelParams assembly.
+
+Replaces the reference's NetCDF parameter managers
+(``/root/reference/src/data/pft_data.h``, ``snicar_data.h``,
+``soil_data.h``).  NetCDF classic files are read via scipy; the SNICAR
+optics can alternatively come from the reference's SnowOptics text fixture
+(the only optics source shipped with the test data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from elmkernels_tpu import constants as c
+from elmkernels_tpu.data.state import ModelParams
+from elmkernels_tpu.physics import init_state as ini
+from elmkernels_tpu.physics import soil_texture as stx
+from elmkernels_tpu.physics.photosynthesis import PFTPsnParams
+from elmkernels_tpu.physics.snow_snicar import IDX_MIE_SNW_MX, SnicarTables
+from elmkernels_tpu.physics.surface_albedo import PFTAlbParams
+from elmkernels_tpu.utils.golden import GoldenFile
+
+# 20-class soil albedo tables (reference: soil_data_impl.hh:5-140,
+# originally from ELM's SurfaceAlbedoMod)
+ALBSAT_20 = np.array([
+    [0.25, 0.50], [0.23, 0.46], [0.21, 0.42], [0.20, 0.40], [0.19, 0.38],
+    [0.18, 0.36], [0.17, 0.34], [0.16, 0.32], [0.15, 0.30], [0.14, 0.28],
+    [0.13, 0.26], [0.12, 0.24], [0.11, 0.22], [0.10, 0.20], [0.09, 0.18],
+    [0.08, 0.16], [0.07, 0.14], [0.06, 0.12], [0.05, 0.10], [0.04, 0.08]])
+ALBDRY_20 = np.array([
+    [0.36, 0.61], [0.34, 0.57], [0.32, 0.53], [0.31, 0.51], [0.30, 0.49],
+    [0.29, 0.48], [0.28, 0.45], [0.27, 0.43], [0.26, 0.41], [0.25, 0.39],
+    [0.24, 0.37], [0.23, 0.35], [0.22, 0.33], [0.20, 0.31], [0.18, 0.29],
+    [0.16, 0.27], [0.14, 0.25], [0.12, 0.23], [0.10, 0.21], [0.08, 0.16]])
+
+PSN_PARAM_NAMES = ["fnr", "act25", "kcha", "koha", "cpha", "vcmaxha",
+                   "jmaxha", "tpuha", "lmrha", "vcmaxhd", "jmaxhd", "tpuhd",
+                   "lmrhd", "lmrse", "qe", "theta_cj", "bbbopt", "mbbopt",
+                   "c3psn", "slatop", "leafcn", "flnr", "fnitr", "dleaf",
+                   "smpso", "smpsc"]
+
+
+def load_pft_psn(path: str, vtype: int) -> PFTPsnParams:
+    """Photosynthesis traits for one PFT from clm_params NetCDF.
+
+    Reference: ``pft_data_impl.hh:60-96`` (``get_pft_psn``).
+    """
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(path), mmap=False)
+    vals = [float(f.variables[n][vtype]) for n in PSN_PARAM_NAMES]
+    vals.append(float(f.variables["tc_stress"][0]))
+    return PFTPsnParams(*vals)
+
+
+def load_pft_alb(path: str, vtype: int) -> PFTAlbParams:
+    """Albedo traits for one PFT (as plain tuples, so the params are
+    hashable and can be jit-static).  Reference:
+    ``pft_data_impl.hh:103-116``."""
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(path), mmap=False)
+    def v(name):
+        return float(f.variables[name][vtype])
+    return PFTAlbParams(
+        rhol=(v("rholvis"), v("rholnir")),
+        rhos=(v("rhosvis"), v("rhosnir")),
+        taul=(v("taulvis"), v("taulnir")),
+        taus=(v("tausvis"), v("tausnir")),
+        xl=v("xl"))
+
+
+def load_pft_roots(path: str, vtype: int) -> tuple[float, float]:
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(path), mmap=False)
+    return (float(f.variables["roota_par"][vtype]),
+            float(f.variables["rootb_par"][vtype]))
+
+
+def load_pft_displar_z0mr(path: str, vtype: int) -> tuple[float, float]:
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(path), mmap=False)
+    return (float(f.variables["displar"][vtype]),
+            float(f.variables["z0mr"][vtype]))
+
+
+def load_snicar_from_text(path: str) -> SnicarTables:
+    """SNICAR optics from the reference's SnowOptics text fixture
+    (``/root/reference/test/data/SnowOptics_IN.txt``); same contents as
+    snicar_optics_5bnd*.nc."""
+    opt = GoldenFile(str(path)).state(0)
+    def t(name, shape):
+        return jnp.asarray(np.asarray(opt[name]).reshape(shape))
+    kw = {}
+    for sp in ("oc1", "oc2", "dst1", "dst2", "dst3", "dst4"):
+        for pre in ("ss_alb", "asm_prm", "ext_cff_mss"):
+            kw[f"{pre}_{sp}"] = t(f"{pre}_{sp}", (5,))
+    for kind in ("drc", "dfs"):
+        for pre in ("ss_alb", "asm_prm", "ext_cff_mss"):
+            kw[f"{pre}_snw_{kind}"] = t(f"{pre}_snw_{kind}",
+                                        (5, IDX_MIE_SNW_MX))
+    for sp in ("bc1", "bc2"):
+        for pre in ("ss_alb", "asm_prm", "ext_cff_mss"):
+            kw[f"{pre}_{sp}"] = t(f"{pre}_{sp}", (10, 5))
+    kw["bcenh"] = t("bcenh", (8, 10, 5))
+    return SnicarTables(**kw)
+
+
+def default_snow_aging_tables():
+    """Plausible snow-aging tables [11, 31, 8] (the snicar_drdt NetCDF is
+    not shipped with the reference test data; the reference's final
+    radius clamp makes these numerically inert anyway)."""
+    i = np.arange(11)[:, None, None]
+    j = np.arange(31)[None, :, None]
+    k = np.arange(8)[None, None, :]
+    tau = 1000.0 + 30.0 * i + 10.0 * j + 50.0 * k + 0.0 * (i + j + k)
+    kappa = 1.0 + 0.02 * i + 0.005 * j + 0.01 * k
+    drdt0 = 1.0 + 0.05 * i + 0.01 * j + 0.02 * k
+    return (jnp.asarray(np.broadcast_to(tau, (11, 31, 8)).copy()),
+            jnp.asarray(np.broadcast_to(kappa, (11, 31, 8)).copy()),
+            jnp.asarray(np.broadcast_to(drdt0, (11, 31, 8)).copy()))
+
+
+def default_params(ncol: int, pft_path: str, vtype: int = 12,
+                   lat_deg: float = 71.323, lon_deg: float = 203.3886,
+                   soil_color: int = 15, pct_sand: float = 40.0,
+                   pct_clay: float = 20.0, organic: float = 10.0,
+                   dtype=jnp.float64) -> ModelParams:
+    """Assemble ModelParams for a uniform domain, mirroring the reference
+    driver's hardwired site (``elm_kokkos_interface.cc:92-96``: Utqiagvik,
+    topo_slope raw 0.070, topo_std 3.961) with pedotransfer-derived soil
+    constants."""
+    ones = jnp.ones((ncol,), dtype)
+
+    # soil texture -> hydraulic/thermal constants
+    zsoi_soil = jnp.asarray(np.array([
+        0.007100635417193535, 0.02792500041531687, 0.06225857393654604,
+        0.11886506690014327, 0.21219339590896316, 0.3660657971047043,
+        0.6197584979298266, 1.0380270500015696, 1.7276353086671965,
+        2.8646071131796917, 4.73915671146575, 7.829766507142356,
+        12.92532061670855, 21.32646906315379, 35.17762120511739]))
+    zsoi2 = jnp.broadcast_to(zsoi_soil, (ncol, c.NLEVGRND))
+    sand = jnp.full((ncol, c.NLEVSOI), pct_sand, dtype)
+    clay = jnp.full((ncol, c.NLEVSOI), pct_clay, dtype)
+    org = jnp.full((ncol, c.NLEVSOI), organic, dtype)
+    hyd = stx.init_soil_hydraulics(130.0, sand, clay, org, zsoi2)
+
+    # topography factors (reference hardwired raw values)
+    land = c.LandType(ltype=1, ctype=1, vtype=vtype)
+    topo_slope = ini.init_topo_slope(jnp.full((ncol,), 0.070044865858546,
+                                              dtype))
+    n_melt = ini.init_melt_factor(land, jnp.full((ncol,), 3.96141847422387,
+                                                 dtype))
+    micro_sigma = ini.init_micro_sigma(topo_slope)
+
+    # root fraction from PFT root distribution parameters
+    roota, rootb = load_pft_roots(pft_path, vtype)
+    zisoi_soil = jnp.asarray(np.array([
+        0.0, 0.017512817916255204, 0.04509178717593146, 0.09056182041834465,
+        0.16552923140455322, 0.28912959650683373, 0.4929121475172655,
+        0.8288927739656982, 1.382831179334383, 2.2961212109234443,
+        3.8018819123227208, 6.284461609304053, 10.377543561925453,
+        17.12589483993117, 28.252045134135592, 42.10319727609919]))
+    zi2 = jnp.broadcast_to(zisoi_soil, (ncol, c.NLEVGRND + 1))
+    rootfr = ini.init_vegrootfr(land, roota, rootb, zi2)
+
+    displar_v, z0mr_v = load_pft_displar_z0mr(pft_path, vtype)
+    tau, kappa, drdt0 = default_snow_aging_tables()
+    zsmall = 1.0e-12 * ones
+
+    return ModelParams(
+        lat_r=jnp.full((ncol,), lat_deg * c.ELM_PI / 180.0, dtype),
+        lon_r=jnp.full((ncol,), lon_deg * c.ELM_PI / 180.0, dtype),
+        watsat=hyd.watsat, sucsat=hyd.sucsat, bsw=hyd.bsw,
+        watdry=hyd.watdry, watopt=hyd.watopt, watfc=hyd.watfc,
+        tkmg=hyd.tkmg, tkdry=hyd.tkdry, csol=hyd.csol, rootfr=rootfr,
+        micro_sigma=micro_sigma, n_melt=n_melt,
+        displar_v=displar_v * ones, z0mr_v=z0mr_v * ones,
+        albsat=jnp.broadcast_to(jnp.asarray(ALBSAT_20[soil_color - 1]),
+                                (ncol, 2)),
+        albdry=jnp.broadcast_to(jnp.asarray(ALBDRY_20[soil_color - 1]),
+                                (ncol, 2)),
+        snowage_tau=tau, snowage_kappa=kappa, snowage_drdt0=drdt0,
+        aero_bcphi=zsmall, aero_bcpho=zsmall, aero_bcdep=zsmall,
+        aero_dst1_1=zsmall, aero_dst1_2=zsmall, aero_dst2_1=zsmall,
+        aero_dst2_2=zsmall, aero_dst3_1=zsmall, aero_dst3_2=zsmall,
+        aero_dst4_1=zsmall, aero_dst4_2=zsmall)

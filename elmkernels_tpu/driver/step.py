@@ -1,0 +1,440 @@
+"""The full land-surface water+energy timestep as one pure jitted function.
+
+TPU-native replacement for the reference's ``ELMInterface::advance`` call
+sequence (``/root/reference/driver/kokkos/elm_kokkos_interface.cc:268-322``
+and the per-group ``*_kokkos.cc`` wrappers): the ~20 hand-sequenced Kokkos
+kernel launches collapse into one traced function that XLA fuses.  Per-step
+host work is reduced to assembling the raw forcing/phenology slices
+(:class:`StepForcing`/:class:`StepPhenology`); time interpolation and all
+physics run on device.
+
+Call chain per step (reference ordering, SURVEY.md §3.2):
+  forcing/phenology interp → init_timestep → fraction_wet →
+  albedo+SNICAR → canopy_hydrology → surface_radiation →
+  canopy_temperature → bareground_fluxes → canopy_fluxes →
+  soil_temperature (CN penta solve + phase change) → snow_hydrology →
+  surface_fluxes → conservation diagnostics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from elmkernels_tpu import constants as c
+from elmkernels_tpu.data.state import (ModelParams, ModelState, StepForcing,
+                                       StepPhenology)
+from elmkernels_tpu.physics import (atm_physics as ap, bareground_fluxes as
+                                    bg, canopy_fluxes as cfx,
+                                    canopy_hydrology as chy,
+                                    canopy_temperature as ct, conservation
+                                    as ce, init_state as ini, phenology as
+                                    ph, photosynthesis as psn,
+                                    snow_hydrology as sh, snow_snicar as sn,
+                                    soil_temperature as stp, soil_thermal
+                                    as sth, surface_albedo as sa,
+                                    surface_fluxes as sf, surface_radiation
+                                    as sr)
+from elmkernels_tpu.physics.snow_snicar import SnicarTables
+
+
+class StepDiagnostics(NamedTuple):
+    """Per-step fluxes and conservation errors (the reference prints these;
+    here they are returned for logging/assertion)."""
+    eflx_sh_tot: jnp.ndarray
+    eflx_lh_tot: jnp.ndarray
+    eflx_soil_grnd: jnp.ndarray
+    eflx_lwrad_out: jnp.ndarray
+    eflx_lwrad_net: jnp.ndarray
+    qflx_evap_tot: jnp.ndarray
+    qflx_tran_veg: jnp.ndarray
+    qflx_top_soil: jnp.ndarray
+    qflx_rootsoi: jnp.ndarray
+    fsa: jnp.ndarray
+    fsr: jnp.ndarray
+    t_ref2m: jnp.ndarray
+    errh2o: jnp.ndarray
+    errh2osno: jnp.ndarray
+    errsol: jnp.ndarray
+    errlon: jnp.ndarray
+    errseb: jnp.ndarray
+    errsoi: jnp.ndarray
+    netrad: jnp.ndarray
+
+
+def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
+            albveg: sa.PFTAlbParams, snicar: SnicarTables,
+            params: ModelParams, state: ModelState, forcing: StepForcing,
+            phen: StepPhenology, dtime: float
+            ) -> tuple[ModelState, StepDiagnostics]:
+    """One dtime step.  Pure function of (state, forcing) — jit/pjit it."""
+    s = state
+    p = params
+    dewmx = 0.1       # elm_kokkos_interface.cc:99
+    oldfflag = 1      # elm_kokkos_interface.cc:101
+    veg_active = jnp.ones_like(s.snl, dtype=bool)
+    altmax_indx = jnp.full_like(s.snl, 5)
+    altmax_lastyear_indx = jnp.zeros_like(s.snl)
+
+    # =================== init_timestep (init_timestep_kokkos.cc) ==========
+    # phenology (phenology_kokkos.cc -> ComputePhenology)
+    vtype = jnp.full_like(s.snl, land.vtype)
+    phout = ph.compute_phenology(
+        phen.mlai[0], phen.mlai[1], phen.msai[0], phen.msai[1],
+        phen.mhtop[0], phen.mhtop[1], phen.mhbot[0], phen.mhbot[1],
+        s.snow_depth, s.frac_sno, vtype, phen.wt1, phen.wt2)
+    elai, esai = phout.elai, phout.esai
+    htop = phout.htop
+    tlai, tsai = phout.tlai, phout.tsai
+
+    # atm forcing interpolation (atm_forcing_kokkos.cc get_forcing)
+    forc_t, forc_th = ap.process_tbot(forcing.wt1, forcing.wt2,
+                                      forcing.tbot[0], forcing.tbot[1])
+    forc_pbot = ap.process_pbot(forcing.wt1, forcing.wt2, forcing.pbot[0],
+                                forcing.pbot[1])
+    forc_q = ap.process_qbot(forcing.wt1, forcing.wt2, forcing.qbot[0],
+                             forcing.qbot[1], forc_t, forc_pbot)
+    forc_lwrad = ap.process_flds(forcing.wt1, forcing.wt2, forcing.flds[0],
+                                 forcing.flds[1], forc_pbot, forc_q, forc_t)
+    sol = ap.process_fsds(forcing.fsds, forcing.coszen)
+    forc_solad, forc_solai = sol.forc_solad, sol.forc_solai
+    forc_rain, forc_snow = ap.process_prec(forcing.prec, forc_t)
+    forc_u, forc_v = ap.process_wind(forcing.wt1, forcing.wt2,
+                                     forcing.wind[0], forcing.wind[1])
+    forc_v = jnp.zeros_like(forc_u)
+    forc_hgt, forc_hgt_u, forc_hgt_t, forc_hgt_q = ap.process_zbot(
+        s.snl.shape[0], forc_t.dtype)
+    forc_rho = ap.derive_forc_rho(forc_pbot, forc_q, forc_t)
+    forc_po2 = ap.derive_forc_po2(forc_pbot)
+    forc_pco2 = ap.derive_forc_pco2(forc_pbot)
+    coszen = forcing.coszen
+
+    h2osno_old = s.h2osno
+    begwb = ce.column_water_mass(s.h2ocan, s.h2osno, s.h2osfc,
+                                 s.h2osoi_ice, s.h2osoi_liq)
+    it = ini.init_timestep(land, veg_active, phout.frac_veg_nosno_alb,
+                           s.snl, s.h2osno, s.h2osoi_ice, s.h2osoi_liq,
+                           jnp.zeros_like(s.snw_rds))
+    do_capsnow = it.do_capsnow
+    frac_veg_nosno = it.frac_veg_nosno
+    frac_iceold5 = it.frac_iceold
+    frac_iceold = jnp.concatenate(
+        [frac_iceold5, jnp.zeros_like(s.h2osoi_liq[:, c.NLEVSNO:])], axis=1)
+
+    # =================== fraction_wet (canopy_hydrology_kokkos.cc) ========
+    fw = chy.fraction_wet(land, frac_veg_nosno, dewmx, elai, esai, s.h2ocan)
+    fwet, fdry = fw.fwet, fw.fdry
+
+    # =================== albedo + SNICAR (albedo_kokkos.cc) ===============
+    sa_init = sa.init_timestep(land, elai, s.cnc_bcphi, s.cnc_bcpho,
+                               s.cnc_dst1, s.cnc_dst2, s.cnc_dst3,
+                               s.cnc_dst4)
+    soil_alb = sa.soil_albedo(land, s.snl, s.t_grnd, coszen, s.h2osoi_vol,
+                              p.albsat, p.albdry)
+    drc = sn.snicar_ad_rt(land, 1, coszen, s.h2osno, s.snl, s.h2osoi_liq,
+                          s.h2osoi_ice, s.snw_rds, soil_alb.albsoi,
+                          sa_init.mss_cnc_aer_in_fdb, snicar)
+    dfs = sn.snicar_ad_rt(land, 2, coszen, s.h2osno, s.snl, s.h2osoi_liq,
+                          s.h2osoi_ice, s.snw_rds, soil_alb.albsoi,
+                          sa_init.mss_cnc_aer_in_fdb, snicar)
+    grd = sa.ground_albedo(land, coszen, s.frac_sno, soil_alb.albsod,
+                           soil_alb.albsoi, drc.albout, dfs.albout)
+    fab = sa.flux_absorption_factor(land, coszen, s.frac_sno,
+                                    soil_alb.albsod, soil_alb.albsoi,
+                                    drc.albout, dfs.albout, drc.flx_abs,
+                                    dfs.flx_abs)
+    can = sa.canopy_layer_lai(land, elai, esai, tlai, tsai)
+    ts = sa.two_stream_solver(land, can.nrad, coszen, s.t_veg, fwet, elai,
+                              esai, can.tlai_z, can.tsai_z, grd.albgrd,
+                              grd.albgri, albveg, sa_init.vcmaxcintsun,
+                              sa_init.vcmaxcintsha)
+
+    # =================== canopy_hydrology =================================
+    inter = chy.interception(land, frac_veg_nosno, forc_rain, forc_snow,
+                             dewmx, elai, esai, dtime, s.h2ocan)
+    h2ocan = inter.h2ocan
+    gf = chy.ground_flux(land, do_capsnow, frac_veg_nosno, forc_rain,
+                         forc_snow, jnp.zeros_like(forc_rain),
+                         inter.qflx_candrip, inter.qflx_through_snow,
+                         inter.qflx_through_rain, inter.fracsnow,
+                         inter.fracrain)
+    si = chy.snow_init(land, dtime, do_capsnow, oldfflag, forc_t, s.t_grnd,
+                       gf.qflx_snow_grnd, s.qflx_snow_melt, p.n_melt,
+                       s.snow_depth, s.h2osno, s.int_snow, s.h2osoi_liq,
+                       s.h2osoi_ice, s.t_soisno, frac_iceold, s.snl, s.dz,
+                       s.z, s.zi, s.snw_rds, s.frac_sno_eff, s.frac_sno)
+    fh = chy.fraction_h2osfc(land, p.micro_sigma, si.h2osno, s.h2osfc,
+                             si.h2osoi_liq, si.frac_sno, si.frac_sno_eff)
+    snl = si.snl
+    h2osoi_liq, h2osoi_ice = fh.h2osoi_liq, si.h2osoi_ice
+    t_soisno = si.t_soisno
+    dz, z, zi = si.dz, si.z, si.zi
+    snw_rds = si.snw_rds
+    snow_depth, h2osno, int_snow = si.snow_depth, si.h2osno, si.int_snow
+    frac_sno, frac_sno_eff = fh.frac_sno, fh.frac_sno_eff
+    frac_h2osfc, h2osfc = fh.frac_h2osfc, fh.h2osfc
+    swe_old = si.swe_old
+    frac_iceold = si.frac_iceold
+
+    # =================== surface_radiation ================================
+    tot = sr.total_absorbed_radiation(
+        land, snl, ts.ftdd, ts.ftid, ts.ftii, forc_solad, forc_solai,
+        ts.fabd, ts.fabi, soil_alb.albsod, soil_alb.albsoi, drc.albout,
+        dfs.albout, grd.albgrd, grd.albgri)
+    sabg_lyr = sr.layer_absorbed_radiation(
+        land, snl, tot.sabg, tot.sabg_snow, snow_depth, fab.flx_absdv,
+        fab.flx_absdn, fab.flx_absiv, fab.flx_absin, tot.trd, tot.tri)
+    fsr_out = sr.reflected_radiation(land, ts.albd, ts.albi, forc_solad,
+                                     forc_solai)
+    sun = sr.canopy_sunshade_fractions(land, can.nrad, elai, can.tlai_z,
+                                       ts.fsun_z, forc_solad, forc_solai,
+                                       ts.fabd_sun_z, ts.fabd_sha_z,
+                                       ts.fabi_sun_z, ts.fabi_sha_z)
+
+    # =================== canopy_temperature ===============================
+    old = ct.old_ground_temp(land, s.t_h2osfc, t_soisno)
+    tssbef, t_h2osfc_bef = old.tssbef, old.t_h2osfc_bef
+    t_grnd = ct.ground_temp(land, snl, frac_sno_eff, frac_h2osfc,
+                            s.t_h2osfc, t_soisno)
+    salpha = ct.calc_soilalpha(land, frac_sno, frac_h2osfc, h2osoi_liq,
+                               h2osoi_ice, dz, t_soisno, p.watsat, p.sucsat,
+                               p.bsw)
+    soilbeta = ct.calc_soilbeta(land, frac_sno, frac_h2osfc, p.watsat,
+                                p.watfc, h2osoi_liq, h2osoi_ice, dz)
+    hum = ct.humidities(land, snl, forc_q, forc_pbot, s.t_h2osfc, t_grnd,
+                        frac_sno, frac_sno_eff, frac_h2osfc, salpha.qred,
+                        salpha.hr, t_soisno)
+    gp = ct.ground_properties(
+        land, snl, frac_sno, forc_th, forc_q, elai, esai, htop,
+        p.displar_v, p.z0mr_v, h2osoi_liq, h2osoi_ice)
+    fhgt = ct.forcing_height(land, veg_active, frac_veg_nosno, gp.z0m,
+                             gp.z0mg, forc_t, gp.displa, forc_hgt_u,
+                             forc_hgt_t, forc_hgt_q)
+    thm = fhgt.thm
+
+    # =================== bareground_fluxes ================================
+    zero = jnp.zeros_like(forc_t)
+    bg_init = bg.initialize_flux(
+        land, frac_veg_nosno, forc_u, forc_v, forc_q, forc_th,
+        fhgt.forc_hgt_u_patch, thm, gp.thv, t_grnd, hum.qg, gp.z0mg, zero,
+        zero, zero, zero, zero, zero, zero, zero, zero)
+    bg_stab = bg.stability_iteration(
+        land, frac_veg_nosno, fhgt.forc_hgt_t_patch, fhgt.forc_hgt_u_patch,
+        fhgt.forc_hgt_q_patch, gp.z0mg, bg_init.zldis, bg_init.displa,
+        bg_init.dth, bg_init.dqh, bg_init.ur, forc_q, forc_th, gp.thv,
+        gp.z0hg, gp.z0qg, bg_init.obu, bg_init.um, zero, zero, zero, zero,
+        zero)
+    bg_cf = bg.compute_flux(
+        land, frac_veg_nosno, snl, forc_rho, soilbeta, hum.dqgdT, gp.htvp,
+        s.t_h2osfc, hum.qg_snow, hum.qg_soil, hum.qg_h2osfc, t_soisno,
+        forc_pbot, bg_init.dth, bg_init.dqh, bg_stab.temp1, bg_stab.temp2,
+        bg_stab.temp12m, bg_stab.temp22m, bg_stab.ustar, forc_q, thm, zero,
+        zero, zero, zero, zero, zero, zero, zero, zero, zero, zero, zero,
+        zero)
+
+    # =================== canopy_fluxes ====================================
+    cf_init = cfx.initialize_flux(
+        land, psnveg, snl, frac_veg_nosno, frac_sno, fhgt.forc_hgt_u_patch,
+        thm, gp.thv, forcing.max_dayl, forcing.dayl, altmax_indx,
+        altmax_lastyear_indx, t_soisno, h2osoi_ice, h2osoi_liq, dz,
+        p.rootfr, p.sucsat, p.watsat, p.bsw, elai, esai, gp.emv, gp.emg,
+        hum.qg, t_grnd, forc_t, forc_pbot, forc_lwrad, forc_u, forc_v,
+        forc_q, forc_th, gp.z0mg, gp.displa, gp.z0mv, s.t_veg)
+    cf_stab = cfx.stability_iteration(
+        land, psnveg, dtime, snl, frac_veg_nosno, frac_sno,
+        fhgt.forc_hgt_u_patch, fhgt.forc_hgt_t_patch,
+        fhgt.forc_hgt_q_patch, fwet, fdry, sun.laisun, sun.laisha,
+        forc_rho, snow_depth, soilbeta, frac_h2osfc, s.t_h2osfc, tot.sabv,
+        h2ocan, htop, t_soisno, cf_init.air, cf_init.bir, cf_init.cir,
+        cf_init.ur, cf_init.zldis, cf_init.displa, elai, esai, t_grnd,
+        forc_pbot, forc_q, forc_th, gp.z0mg, cf_init.z0mv, cf_init.z0hv,
+        cf_init.z0qv, thm, gp.thv, hum.qg, can.nrad, s.t10, can.tlai_z,
+        ts.vcmaxcintsha, ts.vcmaxcintsun, sun.parsha_z, sun.parsun_z,
+        sun.laisha_z, sun.laisun_z, forc_pco2, forc_po2,
+        cf_init.dayl_factor, cf_init.btran, cf_init.el, cf_init.qsatl,
+        cf_init.qsatldT, cf_init.taf, cf_init.qaf, cf_init.um, cf_init.obu,
+        cf_init.delq, cf_init.t_veg)
+    cf_cf = cfx.compute_flux(
+        land, dtime, snl, frac_veg_nosno, frac_sno, t_soisno, frac_h2osfc,
+        s.t_h2osfc, tot.sabv, hum.qg_snow, hum.qg_soil, hum.qg_h2osfc,
+        hum.dqgdT, gp.htvp, cf_stab.wtg, cf_stab.wtl0, cf_stab.wta0,
+        cf_stab.wtal, cf_init.air, cf_init.bir, cf_init.cir, cf_stab.qsatl,
+        cf_stab.qsatldT, cf_stab.dth, cf_stab.dqh, cf_stab.temp1,
+        cf_stab.temp2, cf_stab.temp12m, cf_stab.temp22m, cf_stab.tlbef,
+        cf_stab.delq, cf_stab.dt_veg, cf_stab.t_veg, t_grnd, forc_pbot,
+        cf_stab.qflx_tran_veg, cf_stab.qflx_evap_veg, cf_stab.eflx_sh_veg,
+        forc_q, forc_rho, thm, gp.emv, gp.emg, forc_lwrad, cf_stab.wtgq,
+        cf_stab.wtalq, cf_stab.wtlq0, cf_stab.wtaq0, h2ocan,
+        bg_cf.eflx_sh_grnd, bg_cf.eflx_sh_snow, bg_cf.eflx_sh_soil,
+        bg_cf.eflx_sh_h2osfc, bg_cf.qflx_evap_soi, bg_cf.qflx_ev_snow,
+        bg_cf.qflx_ev_soil, bg_cf.qflx_ev_h2osfc, bg_init.dlrad,
+        bg_init.ulrad, bg_cf.t_ref2m, bg_cf.q_ref2m, bg_cf.rh_ref2m)
+    h2ocan = cf_cf.h2ocan
+    t_veg = cf_stab.t_veg
+
+    # =================== soil_temperature (7-stage chain) =================
+    props = sth.thermal_properties(land, snl, frac_sno, frac_h2osfc,
+                                   h2osno, h2osfc, h2osoi_liq, h2osoi_ice,
+                                   t_soisno, dz, z, zi, p.watsat, p.tkmg,
+                                   p.tkdry, p.csol)
+    snotop = (c.NLEVSNO - snl)[:, None]
+    sabg_lyr_top = jnp.take_along_axis(sabg_lyr, snotop, axis=1)[:, 0]
+    t_top_sno = jnp.take_along_axis(t_soisno, snotop, axis=1)[:, 0]
+    sabg_chk = stp.check_absorbed_solar(frac_sno_eff, tot.sabg_snow,
+                                        tot.sabg_soil)
+    hs_soil = stp.calc_surface_heat_flux(
+        frac_veg_nosno, cf_cf.dlrad, gp.emg, forc_lwrad, gp.htvp,
+        tot.sabg_soil, t_soisno[:, c.NLEVSNO], cf_cf.eflx_sh_soil,
+        cf_cf.qflx_ev_soil)
+    hs_h2osfc = stp.calc_surface_heat_flux(
+        frac_veg_nosno, cf_cf.dlrad, gp.emg, forc_lwrad, gp.htvp,
+        tot.sabg_soil, s.t_h2osfc, cf_cf.eflx_sh_h2osfc,
+        cf_cf.qflx_ev_h2osfc)
+    hs_top_snow = stp.calc_surface_heat_flux(
+        frac_veg_nosno, cf_cf.dlrad, gp.emg, forc_lwrad, gp.htvp,
+        sabg_lyr_top, t_top_sno, cf_cf.eflx_sh_snow, cf_cf.qflx_ev_snow)
+    dhsdT = stp.calc_dhsdT(cf_cf.cgrnd, gp.emg, t_grnd)
+
+    fn = stp.calc_diffusive_heat_flux(snl, props.tk, t_soisno, z)
+    fact = stp.calc_heat_flux_matrix_factor(snl, dtime, props.cv, dz, z, zi)
+    lhs, rhs = stp._assemble_system(
+        snl, dtime, dhsdT, frac_sno_eff, frac_h2osfc, props.dz_h2osfc,
+        props.c_h2osfc, props.tk_h2osfc, z, fact, props.tk, hs_top_snow,
+        hs_soil, hs_h2osfc, t_soisno, s.t_h2osfc, fn, sabg_lyr)
+    tvec = stp.pdma_solve(lhs, rhs)
+    upd = stp.update_temperature(snl, frac_h2osfc, tvec, t_soisno)
+
+    pc1 = stp.phase_change_h2osfc(
+        snl, dtime, frac_sno, frac_h2osfc, dhsdT, props.c_h2osfc,
+        fact[:, c.NLEVSNO - 1], upd.t_h2osfc, h2osfc, h2osno, int_snow,
+        snow_depth, h2osoi_ice[:, c.NLEVSNO - 1],
+        upd.t_soisno[:, c.NLEVSNO - 1])
+    ice_a = h2osoi_ice.at[:, c.NLEVSNO - 1].set(pc1.h2osoi_ice_sl1)
+    t_a = upd.t_soisno.at[:, c.NLEVSNO - 1].set(pc1.t_soisno_sl1)
+    pc2 = stp.phase_change_soisno(
+        land, snl, dtime, dhsdT, frac_h2osfc, frac_sno_eff, fact, p.watsat,
+        p.sucsat, p.bsw, dz, pc1.h2osno, pc1.snow_depth, ice_a, h2osoi_liq,
+        t_a)
+    t_soisno = pc2.t_soisno
+    h2osoi_ice, h2osoi_liq = pc2.h2osoi_ice, pc2.h2osoi_liq
+    h2osno, snow_depth = pc2.h2osno, pc2.snow_depth
+    h2osfc, int_snow = pc1.h2osfc, pc1.int_snow
+    t_h2osfc = pc1.t_h2osfc
+    t_grnd = stp.update_t_grnd(snl, frac_h2osfc, frac_sno_eff, t_h2osfc,
+                               t_soisno)
+    qflx_snow_melt = pc2.qflx_snow_melt
+    qflx_snomelt = pc2.qflx_snomelt
+
+    # =================== snow_hydrology ===================================
+    sw = sh.snow_water(land, do_capsnow, snl, dtime, frac_sno_eff, h2osno,
+                       s.qflx_sub_snow, s.qflx_evap_grnd, s.qflx_dew_snow,
+                       s.qflx_dew_grnd, gf.qflx_rain_grnd, qflx_snomelt,
+                       qflx_snow_melt, int_snow, frac_sno, h2osoi_liq,
+                       h2osoi_ice, s.mss, dz)
+    mss = sh.compute_aerosol_deposition(dtime, snl, p.aero_in, sw.mss)
+    bcphi, bcpho = sh.aerosol_phase_change(snl, dtime, s.qflx_sub_snow,
+                                           sw.h2osoi_liq, sw.h2osoi_ice,
+                                           mss["bcphi"], mss["bcpho"])
+    mss = dict(mss, bcphi=bcphi, bcpho=bcpho)
+    qflx_rootsoi = sh.transpiration(veg_active, cf_stab.qflx_tran_veg,
+                                    cf_init.rootr)
+    dz = sh.snow_compaction(land, snl, dtime, sw.int_snow, p.n_melt,
+                            sw.frac_sno, pc2.imelt, swe_old,
+                            sw.h2osoi_liq, sw.h2osoi_ice, t_soisno,
+                            frac_iceold, sw.dz)
+    st = sh.SnowState(snl, t_soisno, sw.h2osoi_ice, sw.h2osoi_liq, snw_rds,
+                      mss, dz, z, zi)
+    cb = sh.combine_layers(land, dtime, st, h2osno, snow_depth,
+                           frac_sno_eff, sw.frac_sno, sw.int_snow)
+    st = sh.divide_layers(cb.frac_sno, cb.state)
+    st = sh.prune_snow_layers(st)
+    mss2, cnc = sh.update_aerosol_mass_and_concen(
+        dtime, st.snl, do_capsnow, gf.qflx_snwcp_ice, st.ice, st.liq,
+        st.mss)
+    snw_rds = sh.snow_aging(do_capsnow, st.snl, cb.frac_sno, dtime,
+                            gf.qflx_snwcp_ice, gf.qflx_snow_grnd,
+                            cb.h2osno, st.dz, st.liq, st.ice, st.t,
+                            pc2.qflx_snofrz_lyr, p.snowage_tau,
+                            p.snowage_kappa, p.snowage_drdt0, st.rds)
+    snl, t_soisno = st.snl, st.t
+    h2osoi_ice, h2osoi_liq = st.ice, st.liq
+    dz, z, zi = st.dz, st.z, st.zi
+    h2osno, snow_depth = cb.h2osno, cb.snow_depth
+    frac_sno, frac_sno_eff = cb.frac_sno, cb.frac_sno_eff
+    int_snow = cb.int_snow
+    qflx_snow_melt = sw.qflx_snow_melt
+
+    # =================== surface_fluxes ===================================
+    snotop2 = (c.NLEVSNO - snl)[:, None]
+    tssbef_snotop = jnp.take_along_axis(tssbef, snotop2, axis=1)[:, 0]
+    tssbef_soitop = tssbef[:, c.NLEVSNO]
+    sfi = sf.initial_flux_calc(
+        land, snl, frac_sno_eff, frac_h2osfc, t_h2osfc_bef, tssbef_snotop,
+        tssbef_soitop, t_grnd, cf_cf.cgrnds, cf_cf.cgrndl,
+        cf_cf.eflx_sh_grnd, cf_cf.qflx_evap_soi, cf_cf.qflx_ev_snow,
+        cf_cf.qflx_ev_soil, cf_cf.qflx_ev_h2osfc)
+    ice_snotop = jnp.take_along_axis(h2osoi_ice, snotop2, axis=1)[:, 0]
+    liq_soitop = h2osoi_liq[:, c.NLEVSNO]  # reference reads soil-top liq
+    sfu = sf.update_surface_fluxes(
+        land, do_capsnow, snl, dtime, t_grnd, gp.htvp, frac_sno_eff,
+        frac_h2osfc, t_h2osfc_bef, tot.sabg_soil, tot.sabg_snow,
+        cf_cf.dlrad, frac_veg_nosno.astype(forc_t.dtype), gp.emg,
+        forc_lwrad, tssbef_snotop, tssbef_soitop, ice_snotop, liq_soitop,
+        cf_stab.eflx_sh_veg, cf_stab.qflx_evap_veg, sfi.qflx_evap_soi,
+        sfi.eflx_sh_grnd, sfi.qflx_ev_snow, sfi.qflx_ev_soil,
+        sfi.qflx_ev_h2osfc, gf.qflx_snwcp_liq, gf.qflx_snwcp_ice)
+    lw = sf.lwrad_outgoing(
+        land, snl, frac_veg_nosno, forc_lwrad, frac_sno_eff, tssbef_snotop,
+        tssbef_soitop, frac_h2osfc, t_h2osfc_bef, t_grnd, cf_cf.ulrad,
+        gp.emg)
+    errsoi = sf.soil_energy_balance(
+        land, snl, sfu.eflx_soil_grnd, pc2.xmf, pc1.xmf_h2osfc,
+        frac_h2osfc, t_h2osfc, t_h2osfc_bef, dtime,
+        pc1.eflx_h2osfc_to_snow, frac_sno_eff, t_soisno, tssbef, fact)
+
+    # =================== conservation =====================================
+    endwb = ce.column_water_mass(h2ocan, h2osno, h2osfc, h2osoi_ice,
+                                 h2osoi_liq)
+    errh2o = ce.column_water_balance_error(
+        begwb, endwb, jnp.zeros_like(begwb), forc_rain, forc_snow,
+        sfu.qflx_evap_tot, sfu.qflx_snwcp_ice, dtime)
+    errh2osno = ce.snow_water_balance_error(
+        snl, sfu.qflx_dew_snow, sfu.qflx_dew_grnd, sfu.qflx_sub_snow,
+        sfu.qflx_evap_grnd, qflx_snow_melt, sfu.qflx_snwcp_ice,
+        sfu.qflx_snwcp_liq, cb.qflx_sl_top_soil, frac_sno_eff,
+        gf.qflx_rain_grnd, gf.qflx_snow_grnd, pc1.qflx_h2osfc_to_ice,
+        h2osno, h2osno_old, dtime, do_capsnow)
+    errsol = ce.solar_shortwave_balance_error(tot.fsa, fsr_out, forc_solad,
+                                              forc_solai)
+    errlon = ce.solar_longwave_balance_error(lw.eflx_lwrad_out,
+                                             lw.eflx_lwrad_net, forc_lwrad)
+    errseb = ce.surface_energy_balance_error(
+        tot.sabv, sabg_chk, forc_lwrad, lw.eflx_lwrad_out, sfu.eflx_sh_tot,
+        sfu.eflx_lh_tot, sfu.eflx_soil_grnd)
+    netrad = ce.net_radiation(tot.fsa, lw.eflx_lwrad_net)
+
+    new_state = s._replace(
+        snl=snl, snow_depth=snow_depth, frac_sno=frac_sno,
+        frac_sno_eff=frac_sno_eff, int_snow=int_snow, h2osno=h2osno,
+        snw_rds=snw_rds, h2ocan=h2ocan, h2osfc=h2osfc,
+        frac_h2osfc=frac_h2osfc, h2osoi_liq=h2osoi_liq,
+        h2osoi_ice=h2osoi_ice, t_soisno=t_soisno, t_grnd=t_grnd,
+        t_h2osfc=t_h2osfc, t_veg=t_veg, dz=dz, z=z, zi=zi,
+        qflx_snow_melt=qflx_snow_melt, qflx_sub_snow=sfu.qflx_sub_snow,
+        qflx_evap_grnd=sfu.qflx_evap_grnd, qflx_dew_snow=sfu.qflx_dew_snow,
+        qflx_dew_grnd=sfu.qflx_dew_grnd,
+        **{"mss_" + k: v for k, v in mss2.items()},
+        **{"cnc_" + k: v for k, v in cnc.items()})
+
+    diags = StepDiagnostics(
+        eflx_sh_tot=sfu.eflx_sh_tot, eflx_lh_tot=sfu.eflx_lh_tot,
+        eflx_soil_grnd=sfu.eflx_soil_grnd,
+        eflx_lwrad_out=lw.eflx_lwrad_out, eflx_lwrad_net=lw.eflx_lwrad_net,
+        qflx_evap_tot=sfu.qflx_evap_tot,
+        qflx_tran_veg=cf_stab.qflx_tran_veg,
+        qflx_top_soil=sw.qflx_top_soil, qflx_rootsoi=qflx_rootsoi,
+        fsa=tot.fsa, fsr=fsr_out, t_ref2m=cf_cf.t_ref2m, errh2o=errh2o,
+        errh2osno=errh2osno, errsol=errsol, errlon=errlon, errseb=errseb,
+        errsoi=errsoi, netrad=netrad)
+    return new_state, diags

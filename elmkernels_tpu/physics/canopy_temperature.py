@@ -169,13 +169,14 @@ class GroundPropertiesOut(NamedTuple):
 
 
 def ground_properties(land: c.LandType, snl, frac_sno, forc_th, forc_q, elai,
-                      esai, htop, displar, z0mr, h2osoi_liq,
+                      esai, htop, displar_v, z0mr_v, h2osoi_liq,
                       h2osoi_ice) -> GroundPropertiesOut:
     """Emissivities, latent-heat selector, and roughness lengths.
 
     Reference: ``canopy_temperature_impl.hh:203-257`` (``ground_properties``).
-    ``displar``/``z0mr`` are PFT trait vectors indexed by the static
-    ``land.vtype``.
+    ``displar_v``/``z0mr_v`` are the PFT trait values for the domain's
+    (static) vtype — scalars or [ncol] (the reference indexes trait vectors
+    with ``Land.vtype``).
     """
     if land.ltype in (c.ISTICE, c.ISTICE_MEC):
         emg = jnp.full_like(frac_sno, 0.97)
@@ -191,8 +192,8 @@ def ground_properties(land: c.LandType, snl, frac_sno, forc_th, forc_q, elai,
     htvp = jnp.where((liq_top <= 0.0) & (ice_top > 0.0), c.HSUB, c.HVAP)
 
     z0mg = jnp.where(frac_sno > 0.0, c.ZSNO, c.ZLND)
-    z0m = z0mr[:, land.vtype] * htop
-    displa = displar[:, land.vtype] * htop
+    z0m = z0mr_v * htop
+    displa = displar_v * htop
     thv = forc_th * (1.0 + 0.61 * forc_q)
 
     return GroundPropertiesOut(emg, emv, htvp, z0mg, z0mg, z0mg, z0m, z0m,

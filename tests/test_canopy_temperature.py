@@ -29,7 +29,8 @@ def _step(a):
                         a["t_soisno"])
     gp = ct.ground_properties(LAND, a["snl"], a["frac_sno"], a["forc_th"],
                               a["forc_q"], a["elai"], a["esai"], a["htop"],
-                              a["displar"], a["z0mr"], a["h2osoi_liq"],
+                              a["displar"][:, LAND.vtype],
+                              a["z0mr"][:, LAND.vtype], a["h2osoi_liq"],
                               a["h2osoi_ice"])
     fh = ct.forcing_height(LAND, a["veg_active"], a["frac_veg_nosno"],
                            gp.z0m, gp.z0mg, a["forc_t"], gp.displa,
