@@ -330,8 +330,10 @@ def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
 
         a_next = bb_
         fa_next = fb
-        step = jnp.where(jnp.abs(d_next) > tol1, d_next,
-                         jnp.copysign(tol1, xm))
+        # copysign(tol1, xm) without the s64 bitcast (unsupported by the
+        # TPU x64 rewriter); tol1 >= 0 by construction
+        signed_tol = jnp.where(xm >= 0.0, tol1, -tol1)
+        step = jnp.where(jnp.abs(d_next) > tol1, d_next, signed_tol)
         b_next = bb_ + step
 
         fbe, ob = ci_func(b_next, b.out, env, p, c3)
