@@ -1,0 +1,49 @@
+"""Host-side NetCDF reading utilities.
+
+Replaces the reference's serial/parallel NetCDF readers
+(``/root/reference/src/utils/read_netcdf.hh``, ``read_pnetcdf.hh``): each
+host reads its domain-decomposed hyperslab (scipy handles NetCDF classic;
+the optional native reader in ``elmkernels_tpu.io`` accelerates bulk
+forcing ingest), and sharded device arrays are assembled with
+``jax.make_array_from_process_local_data`` in multi-host runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def open_nc(path: str):
+    from scipy.io import netcdf_file
+    return netcdf_file(str(path), mmap=False)
+
+
+def read_var(path_or_file, name: str, start=None, count=None) -> np.ndarray:
+    """Read (a hyperslab of) a variable, applying scale/offset attributes
+    (reference: ``read_netcdf.hh:43-130``)."""
+    f = open_nc(path_or_file) if isinstance(path_or_file, str) \
+        else path_or_file
+    v = f.variables[name]
+    arr = np.asarray(v[:])
+    if start is not None:
+        sl = tuple(slice(s, s + n) for s, n in zip(start, count))
+        arr = arr[sl]
+    arr = arr.astype(np.float64, copy=False)
+    scale = float(getattr(v, "scale_factor", 1.0))
+    off = float(getattr(v, "add_offset", 0.0))
+    if scale != 1.0 or off != 0.0:
+        arr = arr * scale + off
+    return arr
+
+
+def get_dimensions(path: str, name: str) -> tuple[int, ...]:
+    f = open_nc(path)
+    return tuple(int(d) for d in f.variables[name].shape)
+
+
+def reshape_grid_to_cells(arr: np.ndarray) -> np.ndarray:
+    """(t, lat, lon) -> (t, cell), matching the reference's
+    ``read_and_reshape_forcing`` (``read_input.hh:150-309``)."""
+    if arr.ndim >= 3:
+        return arr.reshape(arr.shape[0], -1)
+    return arr
