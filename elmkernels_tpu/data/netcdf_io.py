@@ -18,11 +18,36 @@ def open_nc(path: str):
     return netcdf_file(str(path), mmap=False)
 
 
+def prefetch(path: str) -> None:
+    """Warm ``path`` on a background native thread while the device
+    computes the current window (no-op without libelmio.so)."""
+    from elmkernels_tpu.io import native
+    native.prefetch(path)
+
+
 def read_var(path_or_file, name: str, start=None, count=None) -> np.ndarray:
     """Read (a hyperslab of) a variable, applying scale/offset attributes
-    (reference: ``read_netcdf.hh:43-130``)."""
-    f = open_nc(path_or_file) if isinstance(path_or_file, str) \
-        else path_or_file
+    (reference: ``read_netcdf.hh:43-130``).
+
+    String paths go through the native C++ reader (hyperslab reads
+    without materialising the full variable; picks up prefetched files);
+    open scipy files and missing-lib fallback use scipy.
+    """
+    if isinstance(path_or_file, str):
+        from elmkernels_tpu.io import native
+        if native.available():
+            with native.NativeNetCDF(path_or_file) as f:
+                arr = f.read(name, start=start, count=count)
+                scale = f.attr(name, "scale_factor")
+                off = f.attr(name, "add_offset")
+            if scale is not None and scale != 1.0:
+                arr = arr * scale
+            if off is not None and off != 0.0:
+                arr = arr + off
+            return arr
+        f = open_nc(path_or_file)
+    else:
+        f = path_or_file
     v = f.variables[name]
     arr = np.asarray(v[:])
     if start is not None:
