@@ -72,3 +72,41 @@ def reshape_grid_to_cells(arr: np.ndarray) -> np.ndarray:
     if arr.ndim >= 3:
         return arr.reshape(arr.shape[0], -1)
     return arr
+
+
+def write_nc(path: str, dims: dict, variables: dict,
+             attrs: dict | None = None) -> None:
+    """Create a NetCDF-classic file (reference ``IO::init_writing`` +
+    ``IO::write``, ``read_netcdf.hh:173-255``): define dims, then write
+    each variable.
+
+    ``dims``: name -> length (None for the record dim).
+    ``variables``: name -> (dim_names tuple, ndarray).
+    """
+    from scipy.io import netcdf_file
+    with netcdf_file(str(path), "w") as f:
+        for dname, dlen in dims.items():
+            f.createDimension(dname, dlen)
+        for vname, (vdims, arr) in variables.items():
+            arr = np.asarray(arr)
+            v = f.createVariable(vname, arr.dtype.char, tuple(vdims))
+            v[:] = arr
+            for aname, aval in (attrs or {}).get(vname, {}).items():
+                setattr(v, aname, aval)
+
+
+def reshape_and_write_grid_cell(path: str, cell_vars: dict,
+                                nlat: int, nlon: int) -> None:
+    """(t, cell) arrays back to (t, lat, lon) files — the reference's
+    test-input writer (``read_input.hh:280-309``) used to cut per-cell
+    golden inputs from gridded data."""
+    dims = {"time": None, "lat": nlat, "lon": nlon}
+    variables = {}
+    for name, arr in cell_vars.items():
+        arr = np.asarray(arr)
+        if arr.ndim == 2:  # (t, cell)
+            variables[name] = (("time", "lat", "lon"),
+                               arr.reshape(arr.shape[0], nlat, nlon))
+        else:  # (cell,)
+            variables[name] = (("lat", "lon"), arr.reshape(nlat, nlon))
+    write_nc(path, dims, variables)
