@@ -18,6 +18,8 @@ Environment knobs:
   BENCH_NCOL   columns (default 8192)
   BENCH_STEPS  steps in the short window (default 10; long window is 2x)
   BENCH_F32    set to 1 to run single precision (default f64)
+  BENCH_SCAN   1 (default): run steps inside one lax.scan executable
+               (the production time loop); 0: per-step dispatch
 """
 
 import json
@@ -34,11 +36,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
+    if os.environ.get("BENCH_PLATFORM"):  # dev override (site config
+        jax.config.update("jax_platforms",  # ignores JAX_PLATFORMS env)
+                          os.environ["BENCH_PLATFORM"])
     f32 = os.environ.get("BENCH_F32", "0") == "1"
     if not f32:
         jax.config.update("jax_enable_x64", True)
     ncol = int(os.environ.get("BENCH_NCOL", "8192"))
     nsteps = int(os.environ.get("BENCH_STEPS", "10"))
+    use_scan = os.environ.get("BENCH_SCAN", "1") == "1"
 
     import jax.numpy as jnp
     import numpy as np
@@ -52,15 +58,30 @@ def main():
         from elmkernels_tpu.driver.model import Model
         model = Model(ncol=ncol)
         date = Date.from_ymd(1985, 7, 1, 6 * 3600)
-        forc = jax.tree.map(jnp.asarray,
-                            model.forcing.window(date, model.dtime))
-        phen = jax.tree.map(jnp.asarray, model.phenology.window(date))
+        if use_scan:
+            forc, phen = model.stack_windows(date, nsteps)
+        else:
+            forc = jax.tree.map(jnp.asarray,
+                                model.forcing.window(date, model.dtime))
+            phen = jax.tree.map(jnp.asarray, model.phenology.window(date))
     land, psnveg, albveg, dtime = (model.land, model.psnveg, model.albveg,
                                    model.dtime)
 
-    def fn(snicar, params, state, forc, phen):
-        return step_mod.advance(land, psnveg, albveg, snicar, params, state,
-                                forc, phen, dtime)
+    if use_scan:
+        def fn(snicar, params, state, forc, phen):
+            def body(st, fp):
+                f, p = fp
+                st, d = step_mod.advance(land, psnveg, albveg, snicar,
+                                         params, st, f, p, dtime)
+                return st, jnp.abs(d.errsol).max()
+            return jax.lax.scan(body, state, (forc, phen))
+        steps_per_call = nsteps
+    else:
+        def fn(snicar, params, state, forc, phen):
+            st, d = step_mod.advance(land, psnveg, albveg, snicar, params,
+                                     state, forc, phen, dtime)
+            return st, jnp.abs(d.errsol).max()
+        steps_per_call = 1
 
     step = jax.jit(fn, donate_argnums=(2,))
 
@@ -75,30 +96,33 @@ def main():
         return float(jax.device_get(state.t_grnd[0]))
 
     t0 = time.time()
-    state, diags = step(snicar, params, state, forc, phen)
+    state, errsol = step(snicar, params, state, forc, phen)
     pull(state)
     compile_s = time.time() - t0
-    print(f"# compile+first step: {compile_s:.1f}s  ncol={ncol} "
-          f"dtype={'f32' if f32 else 'f64'}", file=sys.stderr)
+    print(f"# compile+first call: {compile_s:.1f}s  ncol={ncol} "
+          f"dtype={'f32' if f32 else 'f64'} "
+          f"mode={'scan' if use_scan else 'dispatch'}x{steps_per_call}",
+          file=sys.stderr)
 
-    def window(state, n):
+    def window(state, ncalls):
         t0 = time.time()
-        for _ in range(n):
-            state, diags = step(snicar, params, state, forc, phen)
+        for _ in range(ncalls):
+            state, errsol = step(snicar, params, state, forc, phen)
         pull(state)
-        return time.time() - t0, state, diags
+        return time.time() - t0, state, errsol
 
     # warmup (also drains any queued work)
-    _, state, _ = window(state, 2)
+    _, state, _ = window(state, 1)
 
-    t_short, state, _ = window(state, nsteps)
-    t_long, state, diags = window(state, 2 * nsteps)
-    per_step = (t_long - t_short) / nsteps
+    ncalls = max(1, nsteps // steps_per_call)
+    t_short, state, _ = window(state, ncalls)
+    t_long, state, errsol = window(state, 2 * ncalls)
+    per_step = (t_long - t_short) / (ncalls * steps_per_call)
     if per_step <= 0:  # noise floor: fall back to the long window mean
-        per_step = t_long / (2 * nsteps)
+        per_step = t_long / (2 * ncalls * steps_per_call)
     cols_per_s = ncol / per_step
 
-    errsol = float(np.abs(np.asarray(diags.errsol)).max())
+    errsol = float(np.max(np.asarray(errsol)))
     print(f"# per-step: {per_step*1e3:.2f} ms "
           f"(short {t_short:.3f}s / long {t_long:.3f}s), "
           f"errsol_max={errsol:.2e}", file=sys.stderr)

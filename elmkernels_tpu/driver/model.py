@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,48 @@ def _jitted_step(land, psnveg, albveg, dtime, snicar, params, state, forc,
     compiled executable."""
     return step_mod.advance(land, psnveg, albveg, snicar, params, state,
                             forc, phen, dtime)
+
+
+class ScanDiagnostics(NamedTuple):
+    """Per-step domain reductions from a scanned run ([nsteps] each) —
+    the reference's MPI ``min_max_sum`` diagnostics
+    (``utils.hh:45-103``) computed on device instead of by collective."""
+    errh2o_max: jnp.ndarray
+    errh2osno_max: jnp.ndarray
+    errsol_max: jnp.ndarray
+    errlon_max: jnp.ndarray
+    errseb_max: jnp.ndarray
+    eflx_sh_mean: jnp.ndarray
+    eflx_lh_mean: jnp.ndarray
+    fsa_mean: jnp.ndarray
+    t_ref2m_mean: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
+                   donate_argnums=(6,))
+def _jitted_scan(land, psnveg, albveg, dtime, snicar, params, state,
+                 forc_stack, phen_stack):
+    """K timesteps inside ONE executable via ``lax.scan`` — amortizes
+    dispatch (the dominant cost at small batch on a remote-tunnel
+    backend) and lets XLA overlap steps' epilogue/prologue.  The
+    reference has no analog: its time loop is host-side
+    (``kokkos_driver.cc:50-85``), one kernel volley per step."""
+    def body(st, fp):
+        forc, phen = fp
+        st, d = step_mod.advance(land, psnveg, albveg, snicar, params, st,
+                                 forc, phen, dtime)
+        out = ScanDiagnostics(
+            errh2o_max=jnp.abs(d.errh2o).max(),
+            errh2osno_max=jnp.abs(d.errh2osno).max(),
+            errsol_max=jnp.abs(d.errsol).max(),
+            errlon_max=jnp.abs(d.errlon).max(),
+            errseb_max=jnp.abs(d.errseb).max(),
+            eflx_sh_mean=d.eflx_sh_tot.mean(),
+            eflx_lh_mean=d.eflx_lh_tot.mean(),
+            fsa_mean=d.fsa.mean(),
+            t_ref2m_mean=d.t_ref2m.mean())
+        return st, out
+    return jax.lax.scan(body, state, (forc_stack, phen_stack))
 
 
 @dataclasses.dataclass
@@ -114,3 +156,26 @@ class Model:
                 callback(date, self.state, last)
             date.increment_seconds(int(self.dtime))
         return last
+
+    def stack_windows(self, start: Date, nsteps: int):
+        """Host-assemble [nsteps]-stacked forcing/phenology pytrees."""
+        date = start.copy()
+        forcs, phens = [], []
+        for _ in range(nsteps):
+            forcs.append(self.forcing.window(date, self.dtime))
+            phens.append(self.phenology.window(date))
+            date.increment_seconds(int(self.dtime))
+
+        def stack(ws):
+            return jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *ws)
+        return stack(forcs), stack(phens)
+
+    def run_scan(self, start: Date, nsteps: int) -> ScanDiagnostics:
+        """Advance ``nsteps`` inside one ``lax.scan`` executable; mutates
+        self.state.  Returns [nsteps]-shaped domain-reduced diagnostics."""
+        forc_stack, phen_stack = self.stack_windows(start, nsteps)
+        self.state, diags = _jitted_scan(
+            self.land, self.psnveg, self.albveg, self.dtime, self.snicar,
+            self.params, self.state, forc_stack, phen_stack)
+        return diags

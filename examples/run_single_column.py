@@ -16,15 +16,20 @@ jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 
-from elmkernels_tpu.driver.model import Model
-from elmkernels_tpu.utils.dates import Date
-
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ncol", type=int, default=1)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--platform", default=None,
+                    help="force backend, e.g. 'cpu' (the env var "
+                         "JAX_PLATFORMS is overridden by site config)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from elmkernels_tpu.driver.model import Model
+    from elmkernels_tpu.utils.dates import Date
 
     # build host-side; eager ops on a remote accelerator round-trip per op
     cpu = jax.devices("cpu")[0]
@@ -34,7 +39,7 @@ def main():
 
     def report(date, state, diags):
         i = 0  # column 0, like the reference's single-cell print
-        print(f"{date.year:04d}-{date.doy + 1:03d} {date.seconds:5d}  "
+        print(f"{date.year:04d}-{date.doy + 1:03d} {date.sec:5d}  "
               f"t_grnd={float(state.t_grnd[i]):8.3f}  "
               f"h2osno={float(state.h2osno[i]):9.4f}  "
               f"h2ocan={float(state.h2ocan[i]):7.4f}  "
