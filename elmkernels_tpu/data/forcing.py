@@ -22,6 +22,7 @@ Two providers:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -144,26 +145,30 @@ class NetCDFForcing:
         self.lon_r = np.asarray(lon_r)
         self._cache: dict[tuple[int, int], dict] = {}
 
+    def _path(self, year: int, month: int) -> str:
+        return f"{self.basename}{year:04d}-{month:02d}.nc"
+
     def _load_month(self, year: int, month: int) -> dict:
         key = (year, month)
         if key in self._cache:
             return self._cache[key]
-        from scipy.io import netcdf_file
-        path = f"{self.basename}{year:04d}-{month:02d}.nc"
-        f = netcdf_file(path, mmap=False)
-        data = {"dtime": np.asarray(f.variables["DTIME"][:], np.float64)}
+        from elmkernels_tpu.data import netcdf_io
+        path = self._path(year, month)
+        data = {"dtime": netcdf_io.read_var(path, "DTIME")}
         for k, vname in self.VAR_NAMES.items():
-            v = f.variables[vname]
-            arr = np.asarray(v[:], np.float64)
-            scale = float(getattr(v, "scale_factor", 1.0))
-            off = float(getattr(v, "add_offset", 0.0))
-            arr = arr * scale + off
+            arr = netcdf_io.read_var(path, vname)
             arr = arr.reshape(arr.shape[0], -1)
             data[k] = arr[:, self.col0:self.col0 + self.ncol]
         self._cache[key] = data
-        # keep at most two months resident (double-buffer semantics)
+        # keep at most two months resident (double-buffer semantics), and
+        # warm next month's file on a background native thread (the
+        # reference reads synchronously when the window runs out,
+        # atm_data_impl.hh:248-319)
         if len(self._cache) > 2:
             self._cache.pop(next(iter(self._cache)))
+        ny, nm = (year, month + 1) if month < 12 else (year + 1, 1)
+        if os.path.exists(self._path(ny, nm)):
+            netcdf_io.prefetch(self._path(ny, nm))
         return data
 
     def window(self, date: Date, dtime: float) -> StepForcing:
