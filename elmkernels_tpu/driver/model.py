@@ -52,6 +52,8 @@ class ScanDiagnostics(NamedTuple):
     eflx_lh_mean: jnp.ndarray
     fsa_mean: jnp.ndarray
     t_ref2m_mean: jnp.ndarray
+    niters_canopy_max: jnp.ndarray
+    niters_canopy_mean: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
@@ -76,7 +78,9 @@ def _jitted_scan(land, psnveg, albveg, dtime, snicar, params, state,
             eflx_sh_mean=d.eflx_sh_tot.mean(),
             eflx_lh_mean=d.eflx_lh_tot.mean(),
             fsa_mean=d.fsa.mean(),
-            t_ref2m_mean=d.t_ref2m.mean())
+            t_ref2m_mean=d.t_ref2m.mean(),
+            niters_canopy_max=d.niters_canopy.max(),
+            niters_canopy_mean=d.niters_canopy.mean())
         return st, out
     return jax.lax.scan(body, state, (forc_stack, phen_stack))
 

@@ -61,6 +61,7 @@ class StepDiagnostics(NamedTuple):
     errseb: jnp.ndarray
     errsoi: jnp.ndarray
     netrad: jnp.ndarray
+    niters_canopy: jnp.ndarray  # canopy stability iterations used
 
 
 def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
@@ -132,12 +133,9 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                                s.cnc_dst4)
     soil_alb = sa.soil_albedo(land, s.snl, s.t_grnd, coszen, s.h2osoi_vol,
                               p.albsat, p.albdry)
-    drc = sn.snicar_ad_rt(land, 1, coszen, s.h2osno, s.snl, s.h2osoi_liq,
-                          s.h2osoi_ice, s.snw_rds, soil_alb.albsoi,
-                          sa_init.mss_cnc_aer_in_fdb, snicar)
-    dfs = sn.snicar_ad_rt(land, 2, coszen, s.h2osno, s.snl, s.h2osoi_liq,
-                          s.h2osoi_ice, s.snw_rds, soil_alb.albsoi,
-                          sa_init.mss_cnc_aer_in_fdb, snicar)
+    drc, dfs = sn.snicar_ad_rt_both(
+        land, coszen, s.h2osno, s.snl, s.h2osoi_liq, s.h2osoi_ice,
+        s.snw_rds, soil_alb.albsoi, sa_init.mss_cnc_aer_in_fdb, snicar)
     grd = sa.ground_albedo(land, coszen, s.frac_sno, soil_alb.albsod,
                            soil_alb.albsoi, drc.albout, dfs.albout)
     fab = sa.flux_absorption_factor(land, coszen, s.frac_sno,
@@ -436,5 +434,5 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         qflx_top_soil=sw.qflx_top_soil, qflx_rootsoi=qflx_rootsoi,
         fsa=tot.fsa, fsr=fsr_out, t_ref2m=cf_cf.t_ref2m, errh2o=errh2o,
         errh2osno=errh2osno, errsol=errsol, errlon=errlon, errseb=errseb,
-        errsoi=errsoi, netrad=netrad)
+        errsoi=errsoi, netrad=netrad, niters_canopy=cf_stab.itlef)
     return new_state, diags

@@ -141,6 +141,7 @@ class StabilityOut(NamedTuple):
     wtalq: jnp.ndarray
     wtlq0: jnp.ndarray
     wtaq0: jnp.ndarray
+    itlef: jnp.ndarray  # iterations used (diagnostic; reference loop var)
 
 
 class _LoopState(NamedTuple):
@@ -428,7 +429,8 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
         qsatl=s.qsatl, qsatldT=s.qsatldT, taf=s.taf, qaf=s.qaf, um=s.um,
         dth=s.dth, dqh=s.dqh, obu=s.obu, temp1=s.temp1, temp2=s.temp2,
         temp12m=s.temp12m, temp22m=s.temp22m, tlbef=s.tlbef, delq=s.delq,
-        dt_veg=s.dt_veg, t_veg=s.t_veg, wtgq=s.wtgq, wtalq=s.wtalq,
+        dt_veg=s.dt_veg, t_veg=s.t_veg, itlef=s.itlef,
+        wtgq=s.wtgq, wtalq=s.wtalq,
         wtlq0=s.wtlq0, wtaq0=s.wtaq0)
 
 

@@ -97,22 +97,24 @@ class SnicarOut(NamedTuple):
     flx_abs: jnp.ndarray  # [ncol, NLEVSNO+1, numrad] layer absorption factors
 
 
-def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
-                 h2osoi_liq, h2osoi_ice, snw_rds, albsoi, mss_cnc_aer,
-                 tables: SnicarTables) -> SnicarOut:
-    """One full SNICAR-AD radiative transfer sweep for direct
-    (``flg_slr_in=1``) or diffuse (``flg_slr_in=2``) incident radiation.
+def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
+                 coszen, h2osno, snl, h2osoi_liq, h2osoi_ice, snw_rds,
+                 albsoi, mss_cnc_aer, tables: SnicarTables):
+    """Band-generic SNICAR-AD sweep.
 
-    Wraps the reference call chain ``init_timestep`` →
-    ``snow_aerosol_mie_params`` → ``snow_radiative_transfer_solver`` →
-    ``snow_albedo_radiation_factor`` (``snow_snicar_impl.hh:7-771``).
+    The leading axis ``B`` of the band-carrying arrays is arbitrary: the
+    single-flag entry point uses B = 5 spectral bands, and
+    :func:`snicar_ad_rt_both` stacks the direct and diffuse sweeps into
+    B = 10 so the whole solve (table mixing, delta transform, the layer
+    recursions) runs once.  ``band_id_b`` maps each row to its spectral
+    band (0..4); ``is_drc_b`` marks direct-incident rows.
 
-    h2osoi_liq/ice are combined [ncol, NLEVTOT] arrays; snw_rds is
-    [ncol, NLEVSNO]; mss_cnc_aer is [ncol, NLEVSNO, SNO_NBR_AER].
+    Returns (albout_lcl [B, ncol], flx_abs_lcl [B, ncol, nsno+1],
+    mu_not, snw_rds_lcl, snl_top, active).
     """
-    assert flg_slr_in in (1, 2)
     nsno = c.NLEVSNO
     nbnd = c.NUMRAD_SNW
+    B = band_id_b.shape[0]
     ncol = coszen.shape[0]
     dtype = coszen.dtype
 
@@ -134,12 +136,6 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
         jnp.rint(snw_rds).astype(jnp.int32))
 
     mu_not = jnp.maximum(coszen, 0.01)
-    if flg_slr_in == 1:
-        flx_slrd = 1.0 / (mu_not * c.ELM_PI)  # [ncol], same for all bands
-        flx_slri = jnp.zeros_like(mu_not)
-    else:
-        flx_slrd = jnp.zeros_like(mu_not)
-        flx_slri = jnp.ones_like(mu_not)
 
     is_lyr_active = lev[None, :] >= snl_top[:, None]  # [ncol, nsno]
 
@@ -154,58 +150,51 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
 
     rds_idx = jnp.clip(r - SNW_RDS_MIN_TBL, 0, IDX_MIE_SNW_MX - 1)
 
-    if flg_slr_in == 1:
-        snw_ss = tables.ss_alb_snw_drc
-        snw_asm = tables.asm_prm_snw_drc
-        snw_ext = tables.ext_cff_mss_snw_drc
-    else:
-        snw_ss = tables.ss_alb_snw_dfs
-        snw_asm = tables.asm_prm_snw_dfs
-        snw_ext = tables.ext_cff_mss_snw_dfs
-
     L_snw = ice_lcl + liq_lcl  # [ncol, nsno]
 
-    # ---- band-vectorized Mie mixing: all arrays [nbnd, ncol, nsno] --------
+    # ---- band-vectorized Mie mixing: all arrays [B, ncol, nsno] -----------
     # (the reference loops bands serially; vectorizing keeps the traced
-    # graph 5x smaller and fuses better on the VPU)
-    ss_snw = jnp.take(snw_ss, rds_idx, axis=1)    # [nbnd, ncol, nsno]
-    asm_snw = jnp.take(snw_asm, rds_idx, axis=1)
-    ext_snw = jnp.take(snw_ext, rds_idx, axis=1)
+    # graph 5x (10x merged) smaller and fuses better on the VPU)
+    ss_snw = jnp.take(snw_ss_b, rds_idx, axis=1)    # [B, ncol, nsno]
+    asm_snw = jnp.take(snw_asm_b, rds_idx, axis=1)
+    ext_snw = jnp.take(snw_ext_b, rds_idx, axis=1)
 
     # aerosols ignored in bands 4,5 (impl:146-152)
-    band_has_aer = (jnp.arange(nbnd) < 3)[:, None, None, None]
+    band_has_aer = (band_id_b < 3)[:, None, None, None]
     mss_b = jnp.where(band_has_aer, mss_cnc_aer[None], 0.0)
-    # species optical properties, stacked [nbnd, nspecies] (+per-layer enh
-    # factor folded into within-ice BC extinction)
+    # species optical properties, stacked [nbnd, nspecies] then expanded to
+    # the B rows (+per-layer enh factor folded into within-ice BC
+    # extinction)
     enh = tables.bcenh[idx_icerds, idx_bc_nclrds, :]  # [ncol, nsno, nbnd]
-    enh = jnp.moveaxis(enh, -1, 0)                    # [nbnd, ncol, nsno]
+    enh = jnp.moveaxis(enh, -1, 0)[band_id_b]         # [B, ncol, nsno]
     ss_aer = jnp.stack([
         jnp.broadcast_to(tables.ss_alb_bc1[idx_bc_nclrds], (nbnd,)),
         tables.ss_alb_bc2[idx_bc_nclrds], tables.ss_alb_oc1,
         tables.ss_alb_oc2, tables.ss_alb_dst1, tables.ss_alb_dst2,
-        tables.ss_alb_dst3, tables.ss_alb_dst4], axis=1)  # [nbnd, 8]
+        tables.ss_alb_dst3, tables.ss_alb_dst4], axis=1)[band_id_b]
     asm_aer = jnp.stack([
         tables.asm_prm_bc1[idx_bc_nclrds], tables.asm_prm_bc2[idx_bc_nclrds],
         tables.asm_prm_oc1, tables.asm_prm_oc2, tables.asm_prm_dst1,
         tables.asm_prm_dst2, tables.asm_prm_dst3, tables.asm_prm_dst4],
-        axis=1)
+        axis=1)[band_id_b]
     ext_aer_scalar = jnp.stack([
         jnp.zeros((nbnd,)), tables.ext_cff_mss_bc2[idx_bc_nclrds],
         tables.ext_cff_mss_oc1, tables.ext_cff_mss_oc2,
         tables.ext_cff_mss_dst1, tables.ext_cff_mss_dst2,
-        tables.ext_cff_mss_dst3, tables.ext_cff_mss_dst4], axis=1)
+        tables.ext_cff_mss_dst3, tables.ext_cff_mss_dst4],
+        axis=1)[band_id_b]
 
     tau_snw = L_snw[None] * ext_snw
-    # per-species optical depths: [nbnd, ncol, nsno, 8]
-    mss_perm = jnp.moveaxis(mss_b, -1, -1)  # already [nbnd, ncol, nsno, 8]
+    # per-species optical depths: [B, ncol, nsno, 8]
     ext_all = jnp.broadcast_to(
         ext_aer_scalar[:, None, None, :],
-        (nbnd,) + L_snw.shape + (c.SNO_NBR_AER,))
+        (B,) + L_snw.shape + (c.SNO_NBR_AER,))
     # within-ice BC (species 0) carries the per-layer enhancement factor
-    ext_bc1 = (tables.ext_cff_mss_bc1[idx_bc_nclrds][:, None, None]
-               * enh)  # [nbnd, ncol, nsno]
+    ext_bc1 = (tables.ext_cff_mss_bc1[idx_bc_nclrds][band_id_b][:, None,
+                                                               None]
+               * enh)  # [B, ncol, nsno]
     ext_all = ext_all.at[..., 0].set(ext_bc1)
-    tau_aer = L_snw[None, :, :, None] * mss_perm * ext_all
+    tau_aer = L_snw[None, :, :, None] * mss_b * ext_all
     tau_sum = jnp.sum(tau_aer, axis=-1)
     omega_sum = jnp.sum(tau_aer * ss_aer[:, None, None, :], axis=-1)
     g_sum = jnp.sum(tau_aer * ss_aer[:, None, None, :]
@@ -216,18 +205,18 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
     g = safe_div(g_sum + asm_snw * ss_snw * tau_snw, tau * omega,
                  (tau > 0.0) & (omega > 0.0))
 
-    # Delta transformation (impl:293-298); arrays [nbnd, ncol, nsno]
+    # Delta transformation (impl:293-298); arrays [B, ncol, nsno]
     g_star = g / (1.0 + g)
     omega_star = ((1.0 - g ** 2) * omega) / (1.0 - omega * g ** 2)
     tau_star = (1.0 - omega * g ** 2) * tau
 
     # ---- snow_radiative_transfer_solver (impl:311-669) ---------------------
     # fully band-vectorized: every layer/interface quantity carries a
-    # leading band axis [nbnd, ncol]; the layer recursions stay as short
+    # leading band axis [B, ncol]; the layer recursions stay as short
     # static unrolls (the batch axes give the parallelism)
     exp_min = jnp.exp(-_ARGMAX)
 
-    ts_b, ws_b, gs_b = tau_star, omega_star, g_star  # [nbnd, ncol, nsno]
+    ts_b, ws_b, gs_b = tau_star, omega_star, g_star  # [B, ncol, nsno]
 
     # --- per-layer Delta-Eddington apparent optical properties ---
     lm = jnp.sqrt(jnp.maximum(
@@ -271,8 +260,8 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
     tdif_c = jnp.sum(mu_g * wt_g * tdr, axis=-1) / swt
 
     # --- top-down interface recursion (impl:403-510) ---
-    one = jnp.ones((nbnd, ncol), dtype)
-    zero = jnp.zeros((nbnd, ncol), dtype)
+    one = jnp.ones((B, ncol), dtype)
+    zero = jnp.zeros((B, ncol), dtype)
     act_b = is_lyr_active[None, :, :]  # [1, ncol, nsno]
     trndir = [one]
     trntdr = [one]
@@ -309,7 +298,7 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
 
     # --- bottom-up reflectivity recursion (impl:526-544) ---
     # underlying ground albedo: vis for band 0, nir for bands 1-4
-    band_is_vis = (jnp.arange(nbnd) == 0)[:, None]
+    band_is_vis = (band_id_b == 0)[:, None]
     soil_alb = jnp.where(band_is_vis, albsoi[None, :, 0], albsoi[None, :, 1])
     rupdir = [None] * (nsno + 1)
     rupdif = [None] * (nsno + 1)
@@ -325,6 +314,9 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
                      + tdif_a_l[i] * rupdif[i + 1] * refkp1 * tdif_b_l[i])
 
     # --- net interface fluxes (impl:560-588) ---
+    # direct rows take the direct-beam flux profile, diffuse rows the
+    # diffuse one (the reference's if(flg_slr_in) at impl:578-586)
+    is_drc_e = is_drc_b[:, None]
     dftmp = []
     for i in range(nsno + 1):
         refk = 1.0 / (1.0 - rdndif[i] * rupdif[i])
@@ -334,9 +326,9 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
         dfdir = jnp.where(dfdir < _PUNY, 0.0, dfdir)
         dfdif = trndif[i] * (1.0 - rupdif[i]) * refk
         dfdif = jnp.where(dfdif < _PUNY, 0.0, dfdif)
-        dftmp.append(dfdir if flg_slr_in == 1 else dfdif)
+        dftmp.append(jnp.where(is_drc_e, dfdir, dfdif))
 
-    albout_lcl = rupdir[0] if flg_slr_in == 1 else rupdif[0]  # [nbnd, ncol]
+    albout_lcl = jnp.where(is_drc_e, rupdir[0], rupdif[0])  # [B, ncol]
 
     # --- absorbed flux per layer + ground (impl:611-646) ---
     f_abs = [jnp.maximum(dftmp[i] - dftmp[i + 1], 0.0)
@@ -344,10 +336,20 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
     f_btm = jnp.maximum(dftmp[nsno], 0.0)
     flx_abs_lcl = jnp.stack(
         [jnp.where(act_b[:, :, i], f_abs[i], 0.0)
-         for i in range(nsno)] + [f_btm], axis=-1)  # [nbnd, ncol, nsno+1]
+         for i in range(nsno)] + [f_btm], axis=-1)  # [B, ncol, nsno+1]
 
-    # ---- snow_albedo_radiation_factor (impl:671-771) -----------------------
-    wgt = _FLX_WGT_DRC if flg_slr_in == 1 else _FLX_WGT_DFS
+    return albout_lcl, flx_abs_lcl, mu_not, snw_rds_lcl, snl_top, active
+
+
+def _radiation_factor(flg_is_direct: bool, albout_lcl, flx_abs_lcl, mu_not,
+                      snw_rds_lcl, snl_top, coszen, h2osno, albsoi,
+                      active) -> SnicarOut:
+    """snow_albedo_radiation_factor (impl:671-771) for one incident flag:
+    5-band -> vis/nir weighting, high-SZA near-IR adjustment (direct
+    only), and the active/thin-snow/none branch select."""
+    nsno = c.NLEVSNO
+    dtype = coszen.dtype
+    wgt = _FLX_WGT_DRC if flg_is_direct else _FLX_WGT_DFS
     wgt_sum = sum(wgt[1:5])
     wgt_arr = jnp.asarray(wgt)
 
@@ -358,7 +360,7 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
                          flx_abs_lcl[1:5]) / wgt_sum
 
     # near-IR direct adjustment for high solar zenith angle (impl:747-760)
-    if flg_slr_in == 1:
+    if flg_is_direct:
         mu_75 = 0.2588
         sza_c1 = 0.085730 - 0.630883 * mu_not + 1.303723 * mu_not ** 2
         sza_c0 = 1.467291 - 3.338043 * mu_not + 6.807489 * mu_not ** 2
@@ -384,3 +386,72 @@ def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
     flx_abs = jnp.stack([flx_vis, flx_nir], axis=-1)
     flx_abs = jnp.where(active[:, None, None], flx_abs, 0.0)
     return SnicarOut(albout, flx_abs)
+
+
+def snicar_ad_rt(land: c.LandType, flg_slr_in: int, coszen, h2osno, snl,
+                 h2osoi_liq, h2osoi_ice, snw_rds, albsoi, mss_cnc_aer,
+                 tables: SnicarTables) -> SnicarOut:
+    """One full SNICAR-AD radiative transfer sweep for direct
+    (``flg_slr_in=1``) or diffuse (``flg_slr_in=2``) incident radiation.
+
+    Wraps the reference call chain ``init_timestep`` →
+    ``snow_aerosol_mie_params`` → ``snow_radiative_transfer_solver`` →
+    ``snow_albedo_radiation_factor`` (``snow_snicar_impl.hh:7-771``).
+
+    h2osoi_liq/ice are combined [ncol, NLEVTOT] arrays; snw_rds is
+    [ncol, NLEVSNO]; mss_cnc_aer is [ncol, NLEVSNO, SNO_NBR_AER].
+    """
+    assert flg_slr_in in (1, 2)
+    nbnd = c.NUMRAD_SNW
+    direct = flg_slr_in == 1
+    band_id_b = jnp.arange(nbnd)
+    is_drc_b = jnp.full((nbnd,), direct)
+    if direct:
+        snw_ss, snw_asm, snw_ext = (tables.ss_alb_snw_drc,
+                                    tables.asm_prm_snw_drc,
+                                    tables.ext_cff_mss_snw_drc)
+    else:
+        snw_ss, snw_asm, snw_ext = (tables.ss_alb_snw_dfs,
+                                    tables.asm_prm_snw_dfs,
+                                    tables.ext_cff_mss_snw_dfs)
+    albout_lcl, flx_abs_lcl, mu_not, snw_rds_lcl, snl_top, active = \
+        _snicar_core(band_id_b, is_drc_b, snw_ss, snw_asm, snw_ext,
+                     coszen, h2osno, snl, h2osoi_liq, h2osoi_ice, snw_rds,
+                     albsoi, mss_cnc_aer, tables)
+    return _radiation_factor(direct, albout_lcl, flx_abs_lcl, mu_not,
+                             snw_rds_lcl, snl_top, coszen, h2osno, albsoi,
+                             active)
+
+
+def snicar_ad_rt_both(land: c.LandType, coszen, h2osno, snl, h2osoi_liq,
+                      h2osoi_ice, snw_rds, albsoi, mss_cnc_aer,
+                      tables: SnicarTables) -> tuple[SnicarOut, SnicarOut]:
+    """Direct + diffuse sweeps fused into ONE solve: the 5 direct and 5
+    diffuse spectral bands stack into a single 10-row band axis, so the
+    Mie mixing, delta transform, and the sequential layer recursions run
+    once at double width instead of twice (the reference calls
+    SNICAR_AD_RT twice per step, ``albedo_kokkos.cc``).
+
+    Bit-identical to the two single-flag calls: every operation is
+    elementwise (or a within-row reduction) over the band axis.
+    """
+    nbnd = c.NUMRAD_SNW
+    band_id_b = jnp.tile(jnp.arange(nbnd), 2)
+    is_drc_b = jnp.arange(2 * nbnd) < nbnd
+    snw_ss = jnp.concatenate([tables.ss_alb_snw_drc,
+                              tables.ss_alb_snw_dfs], axis=0)
+    snw_asm = jnp.concatenate([tables.asm_prm_snw_drc,
+                               tables.asm_prm_snw_dfs], axis=0)
+    snw_ext = jnp.concatenate([tables.ext_cff_mss_snw_drc,
+                               tables.ext_cff_mss_snw_dfs], axis=0)
+    albout_lcl, flx_abs_lcl, mu_not, snw_rds_lcl, snl_top, active = \
+        _snicar_core(band_id_b, is_drc_b, snw_ss, snw_asm, snw_ext,
+                     coszen, h2osno, snl, h2osoi_liq, h2osoi_ice, snw_rds,
+                     albsoi, mss_cnc_aer, tables)
+    drc = _radiation_factor(True, albout_lcl[:nbnd], flx_abs_lcl[:nbnd],
+                            mu_not, snw_rds_lcl, snl_top, coszen, h2osno,
+                            albsoi, active)
+    dfs = _radiation_factor(False, albout_lcl[nbnd:], flx_abs_lcl[nbnd:],
+                            mu_not, snw_rds_lcl, snl_top, coszen, h2osno,
+                            albsoi, active)
+    return drc, dfs
