@@ -27,7 +27,6 @@ import os
 import numpy as np
 
 from elmkernels_tpu.data.state import StepForcing, StepPhenology
-from elmkernels_tpu.physics import solar
 from elmkernels_tpu.utils.dates import Date, monthly_data_weights, \
     month_indices
 
@@ -83,19 +82,12 @@ class SyntheticForcing:
         p1 = self._sample_point(np.asarray(t0 + self.dt_forcing))
         fsds, prec = self._sample_flux(np.asarray(t0))
 
-        decday = date.decimal_doy() + 1.0
-        coszen = np.asarray(
-            solar.average_cosz(self.lat_r, self.lon_r, dtime, decday))
-        max_dayl = np.asarray(solar.max_daylength(self.lat_r))
-        decl = solar.declination_angle_sin(date.doy + 1)
-        dayl = np.asarray(solar.daylength(self.lat_r, decl))
-
         return StepForcing(
             wt1=wt1, wt2=wt2,
             tbot=np.stack([p0[0], p1[0]]), pbot=np.stack([p0[1], p1[1]]),
             qbot=np.stack([p0[2], p1[2]]), flds=np.stack([p0[3], p1[3]]),
             wind=np.stack([p0[4], p1[4]]), fsds=fsds, prec=prec,
-            coszen=coszen, max_dayl=max_dayl, dayl=dayl)
+            decday=date.decimal_doy() + 1.0)
 
 
 @dataclasses.dataclass
@@ -185,12 +177,6 @@ class NetCDFForcing:
         wt2 = float((tmid - t0) / dt_forc)
         wt1 = 1.0 - wt2
 
-        decday = date.decimal_doy() + 1.0
-        coszen = np.asarray(
-            solar.average_cosz(self.lat_r, self.lon_r, dtime, decday))
-        max_dayl = np.asarray(solar.max_daylength(self.lat_r))
-        decl = solar.declination_angle_sin(date.doy + 1)
-        dayl = np.asarray(solar.daylength(self.lat_r, decl))
         return StepForcing(
             wt1=wt1, wt2=wt2,
             tbot=data["tbot"][idx:idx + 2],
@@ -199,4 +185,4 @@ class NetCDFForcing:
             flds=data["flds"][idx:idx + 2],
             wind=data["wind"][idx:idx + 2],
             fsds=data["fsds"][idx], prec=data["prec"][idx],
-            coszen=coszen, max_dayl=max_dayl, dayl=dayl)
+            decday=date.decimal_doy() + 1.0)

@@ -152,9 +152,9 @@ class StepForcing(NamedTuple):
     wind: jnp.ndarray
     fsds: jnp.ndarray           # [ncol] (piecewise constant)
     prec: jnp.ndarray           # [ncol]
-    coszen: jnp.ndarray         # [ncol] timestep-averaged cos(zenith)
-    max_dayl: jnp.ndarray       # [ncol]
-    dayl: jnp.ndarray
+    decday: jnp.ndarray         # scalar decimal day-of-year (1-based);
+                                # solar geometry (coszen/daylength) is
+                                # derived on device inside the step
 
 
 class StepPhenology(NamedTuple):

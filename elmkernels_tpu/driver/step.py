@@ -33,7 +33,7 @@ from elmkernels_tpu.physics import (atm_physics as ap, bareground_fluxes as
                                     ph, photosynthesis as psn,
                                     snow_hydrology as sh, snow_snicar as sn,
                                     soil_temperature as stp, soil_thermal
-                                    as sth, surface_albedo as sa,
+                                    as sth, solar, surface_albedo as sa,
                                     surface_fluxes as sf, surface_radiation
                                     as sr)
 from elmkernels_tpu.physics.snow_snicar import SnicarTables
@@ -98,7 +98,15 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                              forcing.qbot[1], forc_t, forc_pbot)
     forc_lwrad = ap.process_flds(forcing.wt1, forcing.wt2, forcing.flds[0],
                                  forcing.flds[1], forc_pbot, forc_q, forc_t)
-    sol = ap.process_fsds(forcing.fsds, forcing.coszen)
+    # solar geometry on device (the reference computes coszen/daylength
+    # host-side per step, init_timestep_kokkos.cc:23-31; fusing it into
+    # the compiled step removes ~40 eager host ops per window)
+    coszen = solar.average_cosz(p.lat_r, p.lon_r, dtime, forcing.decday)
+    decl = solar.declination_angle_sin(jnp.floor(forcing.decday))
+    dayl = solar.daylength(p.lat_r, decl)
+    max_dayl = solar.max_daylength(p.lat_r)
+
+    sol = ap.process_fsds(forcing.fsds, coszen)
     forc_solad, forc_solai = sol.forc_solad, sol.forc_solai
     forc_rain, forc_snow = ap.process_prec(forcing.prec, forc_t)
     forc_u, forc_v = ap.process_wind(forcing.wt1, forcing.wt2,
@@ -109,7 +117,6 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     forc_rho = ap.derive_forc_rho(forc_pbot, forc_q, forc_t)
     forc_po2 = ap.derive_forc_po2(forc_pbot)
     forc_pco2 = ap.derive_forc_pco2(forc_pbot)
-    coszen = forcing.coszen
 
     h2osno_old = s.h2osno
     begwb = ce.column_water_mass(s.h2ocan, s.h2osno, s.h2osfc,
@@ -234,7 +241,7 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     # =================== canopy_fluxes ====================================
     cf_init = cfx.initialize_flux(
         land, psnveg, snl, frac_veg_nosno, frac_sno, fhgt.forc_hgt_u_patch,
-        thm, gp.thv, forcing.max_dayl, forcing.dayl, altmax_indx,
+        thm, gp.thv, max_dayl, dayl, altmax_indx,
         altmax_lastyear_indx, t_soisno, h2osoi_ice, h2osoi_liq, dz,
         p.rootfr, p.sucsat, p.watsat, p.bsw, elai, esai, gp.emv, gp.emg,
         hum.qg, t_grnd, forc_t, forc_pbot, forc_lwrad, forc_u, forc_v,
