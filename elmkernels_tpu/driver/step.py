@@ -37,6 +37,7 @@ from elmkernels_tpu.physics import (atm_physics as ap, bareground_fluxes as
                                     surface_fluxes as sf, surface_radiation
                                     as sr)
 from elmkernels_tpu.physics.snow_snicar import SnicarTables
+from elmkernels_tpu.physics.math_utils import take_layer
 
 
 class StepDiagnostics(NamedTuple):
@@ -284,8 +285,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                                    t_soisno, dz, z, zi, p.watsat, p.tkmg,
                                    p.tkdry, p.csol)
     snotop = (c.NLEVSNO - snl)[:, None]
-    sabg_lyr_top = jnp.take_along_axis(sabg_lyr, snotop, axis=1)[:, 0]
-    t_top_sno = jnp.take_along_axis(t_soisno, snotop, axis=1)[:, 0]
+    sabg_lyr_top = take_layer(sabg_lyr, snotop[:, 0])
+    t_top_sno = take_layer(t_soisno, snotop[:, 0])
     sabg_chk = stp.check_absorbed_solar(frac_sno_eff, tot.sabg_snow,
                                         tot.sabg_soil)
     hs_soil = stp.calc_surface_heat_flux(
@@ -372,14 +373,14 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
 
     # =================== surface_fluxes ===================================
     snotop2 = (c.NLEVSNO - snl)[:, None]
-    tssbef_snotop = jnp.take_along_axis(tssbef, snotop2, axis=1)[:, 0]
+    tssbef_snotop = take_layer(tssbef, snotop2[:, 0])
     tssbef_soitop = tssbef[:, c.NLEVSNO]
     sfi = sf.initial_flux_calc(
         land, snl, frac_sno_eff, frac_h2osfc, t_h2osfc_bef, tssbef_snotop,
         tssbef_soitop, t_grnd, cf_cf.cgrnds, cf_cf.cgrndl,
         cf_cf.eflx_sh_grnd, cf_cf.qflx_evap_soi, cf_cf.qflx_ev_snow,
         cf_cf.qflx_ev_soil, cf_cf.qflx_ev_h2osfc)
-    ice_snotop = jnp.take_along_axis(h2osoi_ice, snotop2, axis=1)[:, 0]
+    ice_snotop = take_layer(h2osoi_ice, snotop2[:, 0])
     liq_soitop = h2osoi_liq[:, c.NLEVSNO]  # reference reads soil-top liq
     sfu = sf.update_surface_fluxes(
         land, do_capsnow, snl, dtime, t_grnd, gp.htvp, frac_sno_eff,

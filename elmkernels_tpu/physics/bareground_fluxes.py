@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from elmkernels_tpu import constants as c
 from elmkernels_tpu.physics import friction_velocity as fv
 from elmkernels_tpu.physics.qsat import qsat
+from elmkernels_tpu.physics.math_utils import take_layer
 
 
 class InitFluxOut(NamedTuple):
@@ -178,8 +179,7 @@ def compute_flux(land: c.LandType, frac_veg_nosno, snl, forc_rho, soilbeta,
     cgrnd_n = cgrnds_n + htvp * cgrndl_n
 
     sh_grnd = -raih * dth
-    top_sno_t = jnp.take_along_axis(
-        t_soisno, (c.NLEVSNO - snl)[:, None], axis=1)[:, 0]
+    top_sno_t = take_layer(t_soisno, c.NLEVSNO - snl)
     sh_snow = -raih * (thm - top_sno_t)
     sh_soil = -raih * (thm - t_soisno[:, c.NLEVSNO])
     sh_h2osfc = -raih * (thm - t_h2osfc)

@@ -22,6 +22,7 @@ from elmkernels_tpu.physics import friction_velocity as fv
 from elmkernels_tpu.physics import photosynthesis as psn
 from elmkernels_tpu.physics import soil_moist_stress as sms
 from elmkernels_tpu.physics.qsat import qsat
+from elmkernels_tpu.physics.math_utils import take_layer
 
 
 class InitFluxOut(NamedTuple):
@@ -211,8 +212,7 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
     itmin = 2
 
     veg = frac_veg_nosno != 0
-    top_idx = (c.NLEVSNO - snl)[:, None]
-    t_top_sno = jnp.take_along_axis(t_soisno, top_idx, axis=1)[:, 0]
+    t_top_sno = take_layer(t_soisno, c.NLEVSNO - snl)
     t_top_soil = t_soisno[:, c.NLEVSNO]
     soybean = land.vtype in (c.NSOYBEAN, c.NSOYBEANIRRIG)
 
@@ -474,8 +474,7 @@ def compute_flux(land: c.LandType, dtime, snl, frac_veg_nosno, frac_sno,
     veg = frac_veg_nosno != 0
     zero = jnp.zeros_like(t_grnd)
 
-    top_idx = (c.NLEVSNO - snl)[:, None]
-    t_top_sno = jnp.take_along_axis(t_soisno, top_idx, axis=1)[:, 0]
+    t_top_sno = take_layer(t_soisno, c.NLEVSNO - snl)
     t_top_soil = t_soisno[:, c.NLEVSNO]
 
     lw_grnd = (frac_sno * t_top_sno ** 4.0

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from elmkernels_tpu import constants as c
 from elmkernels_tpu.physics import surface_resistance
 from elmkernels_tpu.physics.qsat import qsat
+from elmkernels_tpu.physics.math_utils import take_layer
 
 
 class OldGroundTempOut(NamedTuple):
@@ -42,8 +43,7 @@ def ground_temp(land: c.LandType, snl, frac_sno_eff, frac_h2osfc, t_h2osfc,
     Reference: ``canopy_temperature_impl.hh:30-47`` (``ground_temp``).
     """
     ncol = t_soisno.shape[0]
-    top_sno_t = jnp.take_along_axis(
-        t_soisno, (c.NLEVSNO - snl)[:, None], axis=1)[:, 0]
+    top_sno_t = take_layer(t_soisno, c.NLEVSNO - snl)
     top_soil_t = t_soisno[:, c.NLEVSNO]
     with_snow = (frac_sno_eff * top_sno_t
                  + (1.0 - frac_sno_eff - frac_h2osfc) * top_soil_t
@@ -117,8 +117,7 @@ def humidities(land: c.LandType, snl, forc_q, forc_pbot, t_h2osfc, t_grnd,
     soil branch (``forc_q > hr*qsatg``) is kept.
     """
     if land.ltype in (c.ISTSOIL, c.ISTCROP):
-        top_sno_t = jnp.take_along_axis(
-            t_soisno, (c.NLEVSNO - snl)[:, None], axis=1)[:, 0]
+        top_sno_t = take_layer(t_soisno, c.NLEVSNO - snl)
         qs_snow = qsat(top_sno_t, forc_pbot)
         qg_snow = qs_snow.qs
         dqgdT = frac_sno * qs_snow.qsdT
@@ -186,9 +185,8 @@ def ground_properties(land: c.LandType, snl, frac_sno, forc_th, forc_q, elai,
     avmuir = 1.0
     emv = 1.0 - jnp.exp(-(elai + esai) / avmuir)
 
-    top = (c.NLEVSNO - snl)[:, None]
-    liq_top = jnp.take_along_axis(h2osoi_liq, top, axis=1)[:, 0]
-    ice_top = jnp.take_along_axis(h2osoi_ice, top, axis=1)[:, 0]
+    liq_top = take_layer(h2osoi_liq, c.NLEVSNO - snl)
+    ice_top = take_layer(h2osoi_ice, c.NLEVSNO - snl)
     htvp = jnp.where((liq_top <= 0.0) & (ice_top > 0.0), c.HSUB, c.HVAP)
 
     z0mg = jnp.where(frac_sno > 0.0, c.ZSNO, c.ZLND)

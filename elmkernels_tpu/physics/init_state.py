@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
+from elmkernels_tpu.physics.math_utils import take_layer
 
 _NSNO = c.NLEVSNO
 
@@ -124,7 +125,7 @@ def init_soil_temp(land: c.LandType, snl, ncol, dtype=jnp.float64):
     snow_active = (lev < _NSNO) & (lev >= (_NSNO - snl)[:, None])
     t = jnp.where(lev >= _NSNO, t_soil, jnp.where(snow_active, 250.0, 0.0))
     t = jnp.broadcast_to(t, (ncol, c.NLEVTOT)).astype(dtype)
-    t_grnd = jnp.take_along_axis(t, (_NSNO - snl)[:, None], axis=1)[:, 0]
+    t_grnd = take_layer(t, _NSNO - snl)
     return t, t_grnd
 
 

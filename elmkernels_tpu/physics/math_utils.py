@@ -19,6 +19,28 @@ def safe_div(num, den, cond=None, fill=0.0):
     return jnp.where(cond, num / den_safe, fill)
 
 
+def take_layer(a, idx):
+    """``a[n, L], idx[n] -> a[n, idx[n]]`` as a one-hot masked sum.
+
+    XLA lowers ``take_along_axis`` on TPU to a flattened 1-D gather that
+    serializes (~0.3 ms per call at [8k, 5] — measured); the one-hot
+    select+reduce is a plain VPU op and bit-exact (exactly one term
+    survives).  Out-of-range indices yield 0 rather than clamping.
+    """
+    L = a.shape[1]
+    onehot = jnp.arange(L, dtype=idx.dtype)[None, :] == idx[:, None]
+    return jnp.sum(jnp.where(onehot, a, 0), axis=1)
+
+
+def gather_layers(a, idx):
+    """``a[n, L], idx[n, K] -> out[n, k] = a[n, idx[n, k]]`` via one-hot
+    contraction (see ``take_layer``).  Out-of-range indices yield 0."""
+    L = a.shape[1]
+    onehot = (idx[:, :, None]
+              == jnp.arange(L, dtype=idx.dtype)[None, None, :])
+    return jnp.sum(jnp.where(onehot, a[:, None, :], 0), axis=2)
+
+
 def safe_sqrt(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
 

@@ -26,7 +26,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
-from elmkernels_tpu.physics.math_utils import safe_div
+from elmkernels_tpu.physics.math_utils import (gather_layers, safe_div,
+                                               take_layer)
 
 # snow aging lookup-table index bounds (snow_snicar.h detail:: lines 34-39)
 IDX_T_MAX = 10
@@ -84,13 +85,12 @@ def snow_water(land: c.LandType, do_capsnow, snl, dtime, frac_sno_eff,
                           0.0)
 
     # --- sequentially zero negative liquid downward (impl:317-324) ---------
-    top_liq = jnp.take_along_axis(liq, top[:, None], axis=1)[:, 0]
+    top_liq = take_layer(liq, top)
     running = top_liq < 0.0
     mflx_neg_snow = jnp.zeros_like(h2osno)
     for i in range(_NSNO + 1):
         in_range = i >= top
-        w = jnp.take_along_axis(liq, jnp.full_like(top[:, None], i),
-                                axis=1)[:, 0]
+        w = liq[:, i]
         act = running & in_range
         hit = act & (w < 0.0)
         liq = jnp.where((lev20[None, :] == i) & hit[:, None], 0.0, liq)
@@ -216,8 +216,8 @@ def aerosol_phase_change(snl, dtime, qflx_sub_snow, h2osoi_liq, h2osoi_ice,
     (top layer only).  Reference: ``snow_hydrology_impl.hh:492-543``.
     """
     top = _NSNO - snl
-    liq_t = jnp.take_along_axis(h2osoi_liq, top[:, None], axis=1)[:, 0]
-    ice_t = jnp.take_along_axis(h2osoi_ice, top[:, None], axis=1)[:, 0]
+    liq_t = take_layer(h2osoi_liq, top)
+    ice_t = take_layer(h2osoi_ice, top)
     subsnow = jnp.maximum(0.0, qflx_sub_snow * dtime)
     tot = liq_t + ice_t
     frc_sub = jnp.where(tot > 0.0, subsnow / jnp.where(tot > 0.0, tot, 1.0),
@@ -473,7 +473,7 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
         lidx = jnp.where(nb_down, i, i - 1)
 
         def gat(a, idx):
-            return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+            return take_layer(a, idx)
 
         wl_j, wl_l = gat(liq, jidx), gat(liq, lidx)
         wi_j, wi_l = gat(ice, jidx), gat(ice, lidx)
@@ -552,15 +552,14 @@ def divide_layers(frac_sno, st: SnowState) -> SnowState:
     in_range = _lev()[None, :] < snl[:, None]
 
     def g20(a):
-        return jnp.where(in_range,
-                         jnp.take_along_axis(a[:, :_NSNO], idx, axis=1), 0.0)
+        return jnp.where(in_range, gather_layers(a[:, :_NSNO], idx), 0.0)
 
     dzs = g20(st.dz) * fs[:, None]
     swice = g20(st.ice)
     swliq = g20(st.liq)
     tsno = g20(st.t)
-    rds = jnp.where(in_range, jnp.take_along_axis(st.rds, idx, axis=1), 0.0)
-    ms = {k: jnp.where(in_range, jnp.take_along_axis(v, idx, axis=1), 0.0)
+    rds = jnp.where(in_range, gather_layers(st.rds, idx), 0.0)
+    ms = {k: jnp.where(in_range, gather_layers(v, idx), 0.0)
           for k, v in st.mss.items()}
     msno = snl
 
@@ -683,7 +682,7 @@ def divide_layers(frac_sno, st: SnowState) -> SnowState:
     backc = jnp.clip(back, 0, _NSNO - 1)
 
     def scat(comb, anch, width=_NSNO):
-        gathered = jnp.take_along_axis(anch, backc, axis=1)
+        gathered = gather_layers(anch, backc)
         out = jnp.where(valid, gathered, comb[:, :width])
         return jnp.concatenate([out, comb[:, width:]], axis=1)
 
@@ -691,10 +690,9 @@ def divide_layers(frac_sno, st: SnowState) -> SnowState:
     ice_new = scat(st.ice, swice)
     liq_new = scat(st.liq, swliq)
     t_new = scat(st.t, tsno)
-    rds_new = jnp.where(valid, jnp.take_along_axis(rds, backc, axis=1),
-                        st.rds)
-    mss_new = {k: jnp.where(valid, jnp.take_along_axis(ms[k], backc, axis=1),
-                            st.mss[k]) for k in ms}
+    rds_new = jnp.where(valid, gather_layers(rds, backc), st.rds)
+    mss_new = {k: jnp.where(valid, gather_layers(ms[k], backc), st.mss[k])
+               for k in ms}
 
     z_new, zi_new = _rebuild_snow_mesh(snl_new, dz_new, st.z, st.zi)
     return SnowState(snl_new, t_new, ice_new, liq_new, rds_new, mss_new,
@@ -754,9 +752,8 @@ def snow_aging(do_capsnow, snl, frac_sno, dtime, qflx_snwcp_ice,
     den_b = jnp.where(dz5 + dz_p1 != 0.0, dz5 + dz_p1, 1.0)
     den_t = jnp.where(dz5 + dz_m1 != 0.0, dz5 + dz_m1, 1.0)
     t_top_itf = jnp.where(at_top,
-                          jnp.take_along_axis(
-                              t_soisno, jnp.clip(top, 0, _NSNO - 1)[:, None],
-                              axis=1),
+                          take_layer(t_soisno,
+                                     jnp.clip(top, 0, _NSNO - 1))[:, None],
                           (t_m1 * dz5 + t5 * dz_m1) / den_t)
     t_btm_itf = (t_p1 * dz5 + t5 * dz_p1) / den_b
 

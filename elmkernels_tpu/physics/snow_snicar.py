@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
-from elmkernels_tpu.physics.math_utils import safe_div
+from elmkernels_tpu.physics.math_utils import (safe_div, take_layer)
 
 # detail:: constants (snow_snicar.h:24-40)
 MIN_SNW = 1.0e-30        # minimum snow mass for RT calculation [kg/m^2]
@@ -364,8 +364,7 @@ def _radiation_factor(flg_is_direct: bool, albout_lcl, flx_abs_lcl, mu_not,
         mu_75 = 0.2588
         sza_c1 = 0.085730 - 0.630883 * mu_not + 1.303723 * mu_not ** 2
         sza_c0 = 1.467291 - 3.338043 * mu_not + 6.807489 * mu_not ** 2
-        rds_top = jnp.take_along_axis(
-            snw_rds_lcl, snl_top[:, None], axis=1)[:, 0].astype(dtype)
+        rds_top = take_layer(snw_rds_lcl, snl_top).astype(dtype)
         sza_factor = sza_c1 * (jnp.log10(rds_top) - 6.0) + sza_c0
         adjust = (mu_not < mu_75)
         flx_sza_adjust = alb_nir * (sza_factor - 1.0) * wgt_sum

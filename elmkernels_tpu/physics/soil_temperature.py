@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
-from elmkernels_tpu.physics.math_utils import safe_div
+from elmkernels_tpu.physics.math_utils import (safe_div, take_layer)
 
 CNFAC = 0.5   # Crank-Nicolson factor (detail::cnfac, soil_temperature.h)
 CAPR = 0.34   # tuning factor, first-layer T -> surface T
@@ -344,8 +344,7 @@ def update_temperature(snl, frac_h2osfc, tvector, t_soisno_old) -> SolveOut:
 def update_t_grnd(snl, frac_h2osfc, frac_sno_eff, t_h2osfc, t_soisno):
     """Reference: ``soil_temperature_impl.hh:178-205``."""
     nsno = c.NLEVSNO
-    t_top_sno = jnp.take_along_axis(
-        t_soisno, (nsno - snl)[:, None], axis=1)[:, 0]
+    t_top_sno = take_layer(t_soisno, nsno - snl)
     t_top_soil = t_soisno[:, nsno]
     has_sfc = frac_h2osfc != 0.0
     with_snow = jnp.where(
@@ -558,8 +557,7 @@ def phase_change_soisno(land: c.LandType, snl, dtime, dhsdT, frac_h2osfc,
     hm_ts = jnp.where(at_topsoil, hm, 0.0).sum(axis=1)
     do_ts = ((snl == 0) & (h2osno > 0.0) & (xm_ts > 0.0)
              & (jnp.abs(hm_ts) > 0.0)
-             & (jnp.take_along_axis(imelt, jnp.full_like(snl[:, None], nsno),
-                                    axis=1)[:, 0] > 0))
+             & (imelt[:, nsno] > 0))
     temp1 = h2osno
     h2osno_new = jnp.maximum(0.0, temp1 - xm_ts)
     propor = safe_div(h2osno_new, temp1, temp1 != 0.0)
