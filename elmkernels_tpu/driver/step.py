@@ -52,6 +52,14 @@ class StepDiagnostics(NamedTuple):
     qflx_tran_veg: jnp.ndarray
     qflx_top_soil: jnp.ndarray
     qflx_rootsoi: jnp.ndarray
+    # exchange fluxes handed to the (external) hydrology model — the
+    # reference's ATS coupling surface (interface_data_transfer.hh)
+    qflx_sl_top_soil: jnp.ndarray
+    qflx_snow2topsoi: jnp.ndarray
+    qflx_snwcp_liq: jnp.ndarray
+    qflx_snwcp_ice: jnp.ndarray
+    mflx_snowlyr: jnp.ndarray
+    mflx_neg_snow: jnp.ndarray
     fsa: jnp.ndarray
     fsr: jnp.ndarray
     t_ref2m: jnp.ndarray
@@ -120,8 +128,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     forc_pco2 = ap.derive_forc_pco2(forc_pbot)
 
     h2osno_old = s.h2osno
-    begwb = ce.column_water_mass(s.h2ocan, s.h2osno, s.h2osfc,
-                                 s.h2osoi_ice, s.h2osoi_liq)
+    begwb = ce.column_water_mass_tracked(s.h2ocan, s.h2osno, s.h2osfc,
+                                         s.h2osoi_ice, s.h2osoi_liq)
     it = ini.init_timestep(land, veg_active, phout.frac_veg_nosno_alb,
                            s.snl, s.h2osno, s.h2osoi_ice, s.h2osoi_liq,
                            jnp.zeros_like(s.snw_rds))
@@ -353,6 +361,24 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                       mss, dz, z, zi)
     cb = sh.combine_layers(land, dtime, st, h2osno, snow_depth,
                            frac_sno_eff, sw.frac_sno, sw.int_snow)
+    # ELM proper runs CombineSnowLayers only over the snowc filter —
+    # columns WITH snow layers (SnowHydrologyMod.F90); the extracted
+    # kernel lost that filter, so for snl == 0 its pack totals
+    # (reference snow_hydrology_impl.hh:758-815) see zero active layers
+    # and silently wipe a layerless pack (h2osno > 0) with no
+    # compensating flux. The kernel stays reference-exact (golden
+    # parity); the driver restores the filter: layerless columns pass
+    # their pack scalars through untouched.
+    nolyr = snl == 0
+    cb = cb._replace(
+        h2osno=jnp.where(nolyr, h2osno, cb.h2osno),
+        snow_depth=jnp.where(nolyr, snow_depth, cb.snow_depth),
+        frac_sno=jnp.where(nolyr, sw.frac_sno, cb.frac_sno),
+        frac_sno_eff=jnp.where(nolyr, frac_sno_eff, cb.frac_sno_eff),
+        int_snow=jnp.where(nolyr, sw.int_snow, cb.int_snow),
+        qflx_sl_top_soil=jnp.where(nolyr, 0.0, cb.qflx_sl_top_soil),
+        qflx_snow2topsoi=jnp.where(nolyr, 0.0, cb.qflx_snow2topsoi),
+        mflx_snowlyr_col=jnp.where(nolyr, 0.0, cb.mflx_snowlyr_col))
     st = sh.divide_layers(cb.frac_sno, cb.state)
     st = sh.prune_snow_layers(st)
     mss2, cnc = sh.update_aerosol_mass_and_concen(
@@ -400,8 +426,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         pc1.eflx_h2osfc_to_snow, frac_sno_eff, t_soisno, tssbef, fact)
 
     # =================== conservation =====================================
-    endwb = ce.column_water_mass(h2ocan, h2osno, h2osfc, h2osoi_ice,
-                                 h2osoi_liq)
+    endwb = ce.column_water_mass_tracked(h2ocan, h2osno, h2osfc,
+                                         h2osoi_ice, h2osoi_liq)
     errh2o = ce.column_water_balance_error(
         begwb, endwb, jnp.zeros_like(begwb), forc_rain, forc_snow,
         sfu.qflx_evap_tot, sfu.qflx_snwcp_ice, dtime)
@@ -440,6 +466,11 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         qflx_evap_tot=sfu.qflx_evap_tot,
         qflx_tran_veg=cf_stab.qflx_tran_veg,
         qflx_top_soil=sw.qflx_top_soil, qflx_rootsoi=qflx_rootsoi,
+        qflx_sl_top_soil=cb.qflx_sl_top_soil,
+        qflx_snow2topsoi=cb.qflx_snow2topsoi,
+        qflx_snwcp_liq=sfu.qflx_snwcp_liq,
+        qflx_snwcp_ice=sfu.qflx_snwcp_ice,
+        mflx_snowlyr=cb.mflx_snowlyr_col, mflx_neg_snow=sw.mflx_neg_snow,
         fsa=tot.fsa, fsr=fsr_out, t_ref2m=cf_cf.t_ref2m, errh2o=errh2o,
         errh2osno=errh2osno, errsol=errsol, errlon=errlon, errseb=errseb,
         errsoi=errsoi, netrad=netrad, niters_canopy=cf_stab.itlef)

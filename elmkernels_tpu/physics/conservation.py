@@ -20,6 +20,24 @@ def column_water_mass(h2ocan, h2osno, h2osfc, h2osoi_ice, h2osoi_liq):
             + jnp.sum(h2osoi_ice + h2osoi_liq, axis=-1))
 
 
+def column_water_mass_tracked(h2ocan, h2osno, h2osfc, h2osoi_ice,
+                              h2osoi_liq):
+    """Total column water [kg/m2] without the reference's double count.
+
+    The reference's ``column_water_mass`` adds ``h2osno`` *and* sums
+    ice/liq over all ``nlevsno + nlevgrnd`` layers — but when snow layers
+    are active (snl > 0) the pack is stored in the snow rows of
+    h2osoi_ice/liq *and* aggregated in h2osno, so the evaluator counts it
+    twice and errh2o spikes by the pack mass at layer creation (the
+    reference only prints errh2o, so the artifact goes unnoticed there).
+    The driver uses this corrected version — the pack enters via h2osno
+    only; the layer sum covers soil rows — so errh2o can be asserted.
+    """
+    return (h2ocan + h2osno + h2osfc
+            + jnp.sum(h2osoi_ice[..., c.NLEVSNO:]
+                      + h2osoi_liq[..., c.NLEVSNO:], axis=-1))
+
+
 def dh2o_dt(begwb, endwb, dtime):
     """Reference: lines 18-22."""
     return (endwb - begwb) / dtime

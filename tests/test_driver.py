@@ -44,7 +44,9 @@ def test_driver_hundred_steps_conservation(model):
     # column water balance is open to the (external) hydrology model —
     # the reference exposes qflx_top_soil/qflx_rootsoi as ATS exchange
     # fluxes — so errh2o is the un-modeled exchange, bounded per step
-    assert np.max(np.abs(errs["errh2o"])) < 5.0
+    # (tight: the snowc-filter fix removed the reference's layerless-pack
+    # wipe-out, see step.py around combine_layers)
+    assert np.max(np.abs(errs["errh2o"])) < 0.1
     # surface energy balance carries the reference's dropped-linearization
     # quirk (surface_fluxes_impl.hh:182: pow(emg*sigma*T0, 3) instead of
     # emg*sigma*T0**3), so errseb ~ 4*emg*sigma*T0^3*tinc; it must stay
@@ -56,6 +58,36 @@ def test_driver_hundred_steps_conservation(model):
     # all columns identical inputs -> identical state
     h = np.asarray(state.h2osno)
     assert np.allclose(h, h[0])
+
+
+def test_layerless_pack_survives_combine(model):
+    """Regression: the reference's extracted combine_layers lost ELM's
+    snowc filter and silently zeroes a layerless pack (snl == 0,
+    h2osno > 0) with no compensating flux (snow_hydrology_impl.hh:
+    758-815). The driver restores the filter; a winter run through the
+    thin-pack regime must keep errh2o small and never lose >0.5 mm of
+    pack in one step without a recorded exchange flux."""
+    m = Model(ncol=2)
+    hist = []
+
+    def cb(date, state, diags):
+        hist.append((float(state.h2osno[0]), float(diags.errh2o[0]),
+                     float(diags.qflx_top_soil[0]
+                           + diags.qflx_sl_top_soil[0]
+                           + diags.qflx_snow2topsoi[0]) * 1800.0))
+
+    # day 2.3 onward is the synthetic forcing's first snow event; pack
+    # oscillates snl 0 <-> 3 around day 2.7-3.0 (layer creation at
+    # density < 50 kg/m3 dissolves immediately)
+    m.run(Date.from_ymd(1985, 1, 3), 120, cb)
+    h2osno = np.array([h[0] for h in hist])
+    errh2o = np.array([h[1] for h in hist])
+    outflux = np.array([h[2] for h in hist])
+    assert h2osno.max() > 1.0, "forcing no longer produces a snow pack"
+    drops = h2osno[:-1] - h2osno[1:]
+    unexplained = drops - outflux[1:]
+    assert np.max(np.abs(errh2o)) < 0.1
+    assert np.max(unexplained) < 0.5
 
 
 def test_driver_summer_melt(model):
