@@ -264,21 +264,34 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
         svpts = s.el
         eah = forc_pbot * s.qaf / 0.622
 
-        btran_i = s.btran
+        # sun and shade photosynthesis solves are independent per-column
+        # problems with the same scalar traits: stack them into one
+        # [2*ncol] batch so the hybrid secant/Brent while_loops run once
+        # per outer iteration instead of twice (per-column iteration
+        # sequences — and hence results — are unchanged).
+        btran_sun = s.btran
         if soybean:
-            btran_i = jnp.minimum(1.0, btran_i * 1.25)
-        psn_sun = psn.photosynthesis(
-            p, nrad, forc_pbot, s.t_veg, t10, svpts, eah, forc_po2,
-            forc_pco2, rb, btran_i, dayl_factor, thm, tlai_z, vcmaxcintsun,
-            parsun_z, laisun_z, act)
+            btran_sun = jnp.minimum(1.0, btran_sun * 1.25)
+        btran_sha = btran_sun
         if soybean:
-            btran_i = jnp.minimum(1.0, btran_i * 1.25)
-        psn_sha = psn.photosynthesis(
-            p, nrad, forc_pbot, s.t_veg, t10, svpts, eah, forc_po2,
-            forc_pco2, rb, btran_i, dayl_factor, thm, tlai_z, vcmaxcintsha,
-            parsha_z, laisha_z, act)
-        rssun = psn_sun.rs
-        rssha = psn_sha.rs
+            btran_sha = jnp.minimum(1.0, btran_sha * 1.25)
+        btran_i = btran_sha
+
+        def cat(a, b):
+            return jnp.concatenate([a, b], axis=0)
+
+        def cat2(a):
+            return jnp.concatenate([a, a], axis=0)
+
+        psn_both = psn.photosynthesis(
+            p, cat2(nrad), cat2(forc_pbot), cat2(s.t_veg), cat2(t10),
+            cat2(svpts), cat2(eah), cat2(forc_po2), cat2(forc_pco2),
+            cat2(rb), cat(btran_sun, btran_sha), cat2(dayl_factor),
+            cat2(thm), cat2(tlai_z), cat(vcmaxcintsun, vcmaxcintsha),
+            cat(parsun_z, parsha_z), cat(laisun_z, laisha_z), cat2(act))
+        ncol = s.t_veg.shape[0]
+        rssun = psn_both.rs[:ncol]
+        rssha = psn_both.rs[ncol:]
 
         wta = 1.0 / rah0
         wtl = (elai + esai) / rb
