@@ -95,6 +95,10 @@ class Model:
     snicar_path: str = DEFAULT_SNICAR_PATH
     lat_deg: float = 71.323
     lon_deg: float = 203.3886
+    # month-per-file NetCDF forcing basename ("<basename>YYYY-MM.nc",
+    # reference read_input.hh); None selects the synthetic forcing
+    forcing_basename: str | None = None
+    col0: int = 0  # global column offset of this host's shard
     sharding=None  # optional NamedSharding for the column axis
 
     def __post_init__(self):
@@ -106,9 +110,15 @@ class Model:
             self.ncol, self.pft_path, self.vtype, self.lat_deg,
             self.lon_deg)
         self.state = cold_start(self.ncol)
-        self.forcing = forcing_mod.SyntheticForcing(
-            self.ncol, np.asarray(self.params.lat_r),
-            np.asarray(self.params.lon_r))
+        if self.forcing_basename is not None:
+            self.forcing = forcing_mod.NetCDFForcing(
+                self.forcing_basename, self.ncol,
+                np.asarray(self.params.lat_r),
+                np.asarray(self.params.lon_r), col0=self.col0)
+        else:
+            self.forcing = forcing_mod.SyntheticForcing(
+                self.ncol, np.asarray(self.params.lat_r),
+                np.asarray(self.params.lon_r))
         self.phenology = forcing_mod.SyntheticPhenology(self.ncol)
         if self.sharding is not None:
             self.state = jax.device_put(self.state, self._state_sharding())

@@ -1,0 +1,89 @@
+"""Failure detection and rollback around the time step.
+
+The reference's only recovery mechanism is the ``PrimaryVars`` snapshot
+("primary variables that need to be saved in case of convergence issues",
+``/root/reference/src/data/elm_state.h:15-48``) with host-side deep-copy
+(``elm_kokkos_interface.cc:324-347``) — the snapshot exists but nothing in
+the reference ever validates a step or restores it.  Here the loop is
+closed: :class:`StepGuard` snapshots the primary variables, validates the
+post-step state (finiteness + conservation-error bounds), and rolls the
+state back on failure, reporting what tripped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from elmkernels_tpu.utils.checkpoint import primary_vars
+
+
+@dataclasses.dataclass
+class GuardReport:
+    ok: bool
+    reasons: list[str]
+    rolled_back: bool
+
+
+@dataclasses.dataclass
+class StepGuard:
+    """Validate each step's diagnostics; roll back primary variables on
+    failure.  Thresholds of ``None`` disable the corresponding check.
+
+    Checking requires a device->host pull of a few scalars per step;
+    set ``every`` > 1 to amortize on large runs (rollback then restores
+    the last *validated* snapshot, possibly several steps back).
+    """
+    errh2o_max: float | None = 0.1
+    errh2osno_max: float | None = 1e-6
+    errsol_max: float | None = 1e-6
+    errseb_max: float | None = None   # reference's lwrad quirk inflates it
+    every: int = 1
+
+    def __post_init__(self):
+        self._snapshot = None
+        self._step = 0
+        self.failures: list[tuple[int, list[str]]] = []
+
+    def snapshot(self, state) -> None:
+        self._snapshot = {k: np.array(v)
+                          for k, v in primary_vars(state).items()}
+
+    def check(self, state, diags) -> GuardReport:
+        """Validate; on failure restore the snapshot into ``state``
+        (returns the possibly-rolled-back state in ``.state``)."""
+        self._step += 1
+        if self.every > 1 and (self._step % self.every) != 0:
+            return GuardReport(True, [], False)
+
+        reasons = []
+        t = np.asarray(state.t_grnd)
+        if not np.all(np.isfinite(t)):
+            reasons.append("non-finite t_grnd")
+        if not np.all(np.asarray(state.h2osno) >= 0.0):
+            reasons.append("negative h2osno")
+        for name, bound in (("errh2o", self.errh2o_max),
+                            ("errh2osno", self.errh2osno_max),
+                            ("errsol", self.errsol_max),
+                            ("errseb", self.errseb_max)):
+            if bound is None:
+                continue
+            v = np.max(np.abs(np.asarray(getattr(diags, name))))
+            if not v <= bound:   # catches NaN too
+                reasons.append(f"{name}={v:.3e} > {bound:g}")
+
+        if reasons:
+            self.failures.append((self._step, reasons))
+            return GuardReport(False, reasons, self._snapshot is not None)
+        self.snapshot(state)
+        return GuardReport(True, [], False)
+
+    def restore_into(self, state):
+        """Return ``state`` with primary variables replaced by the last
+        validated snapshot (raises if none exists)."""
+        if self._snapshot is None:
+            raise RuntimeError("no validated snapshot to restore")
+        import jax.numpy as jnp
+        return state._replace(
+            **{k: jnp.asarray(v) for k, v in self._snapshot.items()})
