@@ -114,6 +114,10 @@ def main():
     # warmup (also drains any queued work)
     _, state, _ = window(state, 1)
 
+    if os.environ.get("BENCH_TRACE"):
+        with jax.profiler.trace(os.environ["BENCH_TRACE"]):
+            _, state, _ = window(state, 1)
+
     ncalls = max(1, nsteps // steps_per_call)
     t_short, state, _ = window(state, ncalls)
     t_long, state, errsol = window(state, 2 * ncalls)

@@ -769,9 +769,19 @@ def snow_aging(do_capsnow, snl, frac_sno, dtime, qflx_snwcp_ice,
     rhos_idx = jnp.clip(jnp.rint((rhos - 50.0) / 50.0).astype(jnp.int32), 0,
                         IDX_RHOS_MAX)
 
-    bst_tau = snowage_tau[T_idx, Tgrd_idx, rhos_idx]
-    bst_kappa = snowage_kappa[T_idx, Tgrd_idx, rhos_idx]
-    bst_drdt0 = snowage_drdt0[T_idx, Tgrd_idx, rhos_idx]
+    # One row-gather for all three aging tables instead of three scalar
+    # 3-D gathers (TPU serializes per-element gathers; fetching the
+    # [T,Tgrd] row of all 8 rhos bins x 3 tables is one contiguous slice
+    # per index), then a one-hot select over the 8-bin rhos axis.
+    ntg, nrh = snowage_tau.shape[1], snowage_tau.shape[2]
+    tbl = jnp.stack([snowage_tau, snowage_kappa, snowage_drdt0], axis=-1)
+    tbl_rows = tbl.reshape(-1, nrh * 3)              # [11*31, 24]
+    rows = jnp.take(tbl_rows, T_idx * ntg + Tgrd_idx, axis=0)
+    rows = rows.reshape(rows.shape[0], rows.shape[1], nrh, 3)
+    oh_rho = (rhos_idx[..., None]
+              == jnp.arange(nrh, dtype=rhos_idx.dtype))  # [ncol, 5, 8]
+    sel = jnp.sum(jnp.where(oh_rho[..., None], rows, 0.0), axis=2)
+    bst_tau, bst_kappa, bst_drdt0 = sel[..., 0], sel[..., 1], sel[..., 2]
 
     dr_fresh = snw_rds - c.SNW_RDS_MIN
     dr_fresh = jnp.where(jnp.abs(dr_fresh) < 1.0e-8, 0.0, dr_fresh)

@@ -155,9 +155,13 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     # ---- band-vectorized Mie mixing: all arrays [B, ncol, nsno] -----------
     # (the reference loops bands serially; vectorizing keeps the traced
     # graph 5x (10x merged) smaller and fuses better on the VPU)
-    ss_snw = jnp.take(snw_ss_b, rds_idx, axis=1)    # [B, ncol, nsno]
-    asm_snw = jnp.take(snw_asm_b, rds_idx, axis=1)
-    ext_snw = jnp.take(snw_ext_b, rds_idx, axis=1)
+    # one fused row-gather over the 1471-bin radius axis for all three
+    # Mie tables (3 scalar gathers -> 1 contiguous-row gather)
+    mie = jnp.stack([snw_ss_b, snw_asm_b, snw_ext_b])   # [3, B, nbins]
+    mie_rows = mie.reshape(3 * B, -1).T                 # [nbins, 3*B]
+    rows = jnp.take(mie_rows, rds_idx, axis=0)          # [ncol, nsno, 3*B]
+    rows = jnp.moveaxis(rows, -1, 0).reshape(3, B, *rds_idx.shape)
+    ss_snw, asm_snw, ext_snw = rows[0], rows[1], rows[2]
 
     # aerosols ignored in bands 4,5 (impl:146-152)
     band_has_aer = (band_id_b < 3)[:, None, None, None]
@@ -165,7 +169,15 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     # species optical properties, stacked [nbnd, nspecies] then expanded to
     # the B rows (+per-layer enh factor folded into within-ice BC
     # extinction)
-    enh = tables.bcenh[idx_icerds, idx_bc_nclrds, :]  # [ncol, nsno, nbnd]
+    # idx_bc_nclrds is static: pre-slice bcenh to an [8, nbnd] table and
+    # contract with a one-hot over the 8 icerds bins (a scalar 3-D gather
+    # serializes on TPU; this is a plain VPU select+reduce)
+    bcenh_t = tables.bcenh[:, idx_bc_nclrds, :]       # [8, nbnd]
+    oh_ice = (idx_icerds[..., None]
+              == jnp.arange(bcenh_t.shape[0],
+                            dtype=idx_icerds.dtype))  # [ncol, nsno, 8]
+    enh = jnp.sum(jnp.where(oh_ice[..., None], bcenh_t[None, None], 0.0),
+                  axis=2)                             # [ncol, nsno, nbnd]
     enh = jnp.moveaxis(enh, -1, 0)[band_id_b]         # [B, ncol, nsno]
     ss_aer = jnp.stack([
         jnp.broadcast_to(tables.ss_alb_bc1[idx_bc_nclrds], (nbnd,)),

@@ -1,0 +1,50 @@
+"""Multi-host (multi-process) distributed execution test.
+
+The reference's inter-node parallelism is an MPI rank-block domain
+decomposition with per-rank forcing reads and MPI_Reduce diagnostics
+(SURVEY.md §2e) — but it is never tested with nprocs > 1 there.  Here two
+OS processes run `jax.distributed` over CPU (2 virtual devices each, so
+the global 'col' mesh spans 4 devices / 2 processes), each building only
+its own column block, assembled with
+``jax.make_array_from_process_local_data``.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import pathlib
+
+WORKER = pathlib.Path(__file__).parent / "multihost_worker.py"
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_step():
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid}: OK" in out, f"proc {pid} output:\n{out}"
