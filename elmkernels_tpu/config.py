@@ -39,6 +39,8 @@ class RunConfig:
     # month-per-file NetCDF forcing basename (reference read_input.hh
     # "basenameYYYY-MM.nc"); None -> synthetic analytic forcing
     forcing_basename: str | None = None
+    # surfdata NetCDF with monthly phenology; None -> synthetic
+    phenology_path: str | None = None
     # numerics
     f64: bool = True
     # pin the JAX backend (e.g. "cpu"); None = default device. The axon
@@ -61,7 +63,8 @@ class RunConfig:
                                   lon_deg=self.lon_deg,
                                   pft_path=self.pft_path,
                                   snicar_path=self.snicar_path,
-                                  forcing_basename=self.forcing_basename)
+                                  forcing_basename=self.forcing_basename,
+                                  phenology_path=self.phenology_path)
         return Model(**kw)
 
     def start_date(self):

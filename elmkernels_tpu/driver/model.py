@@ -98,6 +98,9 @@ class Model:
     # month-per-file NetCDF forcing basename ("<basename>YYYY-MM.nc",
     # reference read_input.hh); None selects the synthetic forcing
     forcing_basename: str | None = None
+    # surfdata NetCDF with MONTHLY_LAI/SAI/HEIGHT_* (12, pft, cells);
+    # None selects the synthetic phenology climatology
+    phenology_path: str | None = None
     col0: int = 0  # global column offset of this host's shard
     sharding=None  # optional NamedSharding for the column axis
 
@@ -119,7 +122,15 @@ class Model:
             self.forcing = forcing_mod.SyntheticForcing(
                 self.ncol, np.asarray(self.params.lat_r),
                 np.asarray(self.params.lon_r))
-        self.phenology = forcing_mod.SyntheticPhenology(self.ncol)
+        if self.phenology_path is not None:
+            from elmkernels_tpu.data.phenology_data import \
+                PhenologyDataManager
+            self.phenology = PhenologyDataManager(
+                self.phenology_path, self.ncol,
+                np.full(self.ncol, self.vtype, dtype=np.int32),
+                col0=self.col0)
+        else:
+            self.phenology = forcing_mod.SyntheticPhenology(self.ncol)
         if self.sharding is not None:
             self.state = jax.device_put(self.state, self._state_sharding())
             self.params = jax.device_put(self.params,
