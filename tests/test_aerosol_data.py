@@ -1,0 +1,57 @@
+"""Monthly aerosol-deposition manager (reference ``AerosolDataManager``,
+``aerosol_data_old.h`` — the monthly-interp capability the reference keeps
+in-tree but has disabled in its driver)."""
+
+import numpy as np
+
+from elmkernels_tpu.data import netcdf_io
+from elmkernels_tpu.data.aerosol_data import (DEP_VARS, AerosolDataManager,
+                                              SteadyAerosol)
+from elmkernels_tpu.utils.dates import (Date, month_indices,
+                                        monthly_data_weights)
+
+
+def _write_dep_file(path, ncell=6):
+    months = np.arange(12, dtype=np.float64)[:, None]
+    cell = np.arange(ncell, dtype=np.float64)[None, :]
+    dims = {"time": 12, "gridcell": ncell}
+    variables = {}
+    for i, (k, vname) in enumerate(DEP_VARS.items()):
+        variables[vname] = (("time", "gridcell"),
+                            (i + 1) * 1e-12 * (1.0 + months) + 1e-14 * cell)
+    netcdf_io.write_nc(str(path), dims, variables)
+
+
+def test_monthly_interpolation(tmp_path):
+    p = tmp_path / "aerosoldep_monthly.nc"
+    _write_dep_file(p)
+    mgr = AerosolDataManager(str(p), ncol=3, col0=2)
+
+    date = Date.from_ymd(1985, 4, 10)  # between mid-March and mid-April
+    m1, m2 = month_indices(date)
+    wt1, wt2 = monthly_data_weights(date)
+    rates = mgr.rates(date)
+    assert set(rates) == set(DEP_VARS)
+    for i, k in enumerate(DEP_VARS):
+        cell = np.arange(2, 5, dtype=np.float64)
+        v1 = (i + 1) * 1e-12 * (1.0 + m1) + 1e-14 * cell
+        v2 = (i + 1) * 1e-12 * (1.0 + m2) + 1e-14 * cell
+        np.testing.assert_allclose(rates[k], wt1 * v1 + wt2 * v2,
+                                   rtol=1e-14)
+
+
+def test_column_offset_slices_cells(tmp_path):
+    p = tmp_path / "dep.nc"
+    _write_dep_file(p, ncell=8)
+    a = AerosolDataManager(str(p), ncol=2, col0=0)
+    b = AerosolDataManager(str(p), ncol=2, col0=6)
+    date = Date.from_ymd(1985, 7, 1)
+    ra, rb = a.rates(date), b.rates(date)
+    # different column blocks read different cells (1e-14 * cell offset)
+    np.testing.assert_allclose(rb["bcphi"] - ra["bcphi"], 6e-14, rtol=1e-9)
+
+
+def test_steady_fallback():
+    r = SteadyAerosol(4).rates(Date.from_ymd(1985, 1, 1))
+    assert set(r) == set(DEP_VARS)
+    assert all(v.shape == (4,) and np.all(v > 0) for v in r.values())
