@@ -374,6 +374,16 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
     assert c.NLEVCAN == 1
     c3 = round(p.c3psn) == 1
 
+    # squeeze the single canopy layer up front: carrying a trailing
+    # [ncol, 1] through the iterative solvers makes XLA emit hundreds of
+    # per-iteration slice/broadcast ops (values are unchanged)
+    if vcmaxcint.ndim == 2:
+        vcmaxcint = vcmaxcint[:, 0]
+    if par_z.ndim == 2:
+        par_z = par_z[:, 0]
+    if lai_z.ndim == 2:
+        lai_z = lai_z[:, 0]
+
     lnc = 1.0 / (p.slatop * p.leafcn)
     act25 = p.act25 * 1000.0 / 60.0
     vcmax25top = lnc * p.flnr * p.fnr * act25 * dayl_factor * p.fnitr
@@ -398,7 +408,7 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
         lmr_z = (lmr25 * 2.0 ** ((t_veg - (c.TFRZ + 25.0)) / 10.0)
                  / (1.0 + jnp.exp(1.3 * (t_veg - (c.TFRZ + 55.0)))))
 
-    par0 = par_z[:, 0]
+    par0 = par_z
     day = par0 > 0.0
     vcmax25 = vcmax25top * nscaler
     jmax25 = jmax25top * nscaler
@@ -469,7 +479,7 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
     ci_out = jnp.where(day, ci_day, 0.0)
 
     # canopy aggregation (single layer)
-    lai0 = lai_z[:, 0]
+    lai0 = lai_z
     gscan = lai0 / (rb + rs_z)
     haslai = lai0 > 0.0
     rs = jnp.where(haslai,
