@@ -55,6 +55,11 @@ class RunConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0         # steps; 0 = only explicit saves
     metrics_path: str | None = None   # JSONL per-step metrics
+    # NetCDF history output (utils/history.py): file stem, flush window,
+    # comma-separated diagnostic/state field names
+    history_path: str | None = None
+    history_every: int = 48
+    history_fields: str = "t_grnd,eflx_sh_tot,eflx_lh_tot,fsa,h2osno"
 
     def make_model(self):
         from elmkernels_tpu.driver.model import Model

@@ -45,6 +45,13 @@ def main(argv=None):
     if cfg.metrics_path:
         from elmkernels_tpu.utils.metrics import MetricsLogger
         metrics = MetricsLogger(cfg.metrics_path)
+    history = None
+    if cfg.history_path:
+        from elmkernels_tpu.utils.history import HistoryWriter
+        history = HistoryWriter(
+            cfg.history_path,
+            [f.strip() for f in cfg.history_fields.split(",") if f.strip()],
+            every=cfg.history_every, ref_date=date.copy())
 
     clock = Clock()
     for istep in range(cfg.nsteps):
@@ -59,6 +66,8 @@ def main(argv=None):
                 model.state = guard.restore_into(model.state)
         if metrics:
             metrics.log_step(date, model.state, diags)
+        if history:
+            history.record(date, model.state, diags)
         if (cfg.checkpoint_dir and cfg.checkpoint_every
                 and (istep + 1) % cfg.checkpoint_every == 0):
             with clock.time("checkpoint"):
@@ -75,6 +84,10 @@ def main(argv=None):
     print(f"t_grnd[0]={float(t[0]):.3f} K; all finite={np.all(np.isfinite(t))}")
     if metrics:
         metrics.close()
+    if history:
+        history.close()
+        print(f"history: {len(history.written)} file(s), last "
+              f"{history.written[-1] if history.written else 'none'}")
     return 0 if not guard.failures else 1
 
 

@@ -19,6 +19,12 @@ import jax
 # pinned via jax.config *after* import (env vars alone do not stick).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the suite's cost is dominated by XLA compiles
+# of the full coupled step (and its JVP); cache them across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/elmtpu_jaxcache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import pathlib
 
