@@ -43,6 +43,9 @@ class RunConfig:
     phenology_path: str | None = None
     # numerics
     f64: bool = True
+    # ELM-proper snow grain aging (fixes the reference's double-clamp
+    # quirk, snow_hydrology_impl.hh:216-222); False = reference-exact
+    elm_correct_snow_aging: bool = False
     # pin the JAX backend (e.g. "cpu"); None = default device. The axon
     # site config overrides the JAX_PLATFORMS env var, so this must be
     # applied via jax.config after import.
@@ -69,7 +72,9 @@ class RunConfig:
                                   pft_path=self.pft_path,
                                   snicar_path=self.snicar_path,
                                   forcing_basename=self.forcing_basename,
-                                  phenology_path=self.phenology_path)
+                                  phenology_path=self.phenology_path,
+                                  elm_correct_snow_aging=(
+                                      self.elm_correct_snow_aging))
         return Model(**kw)
 
     def start_date(self):

@@ -28,15 +28,16 @@ DEFAULT_PFT_PATH = "/root/reference/test/data/clm_params_c180524.nc"
 DEFAULT_SNICAR_PATH = "/root/reference/test/data/SnowOptics_IN.txt"
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(6,))
-def _jitted_step(land, psnveg, albveg, dtime, snicar, params, state, forc,
-                 phen):
-    """Shared jitted step; land/PFT traits/dtime are static (hashable), so
-    all Model instances with the same configuration and shapes share one
-    compiled executable."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(7,))
+def _jitted_step(land, psnveg, albveg, dtime, aging_fix, snicar, params,
+                 state, forc, phen):
+    """Shared jitted step; land/PFT traits/dtime/flags are static
+    (hashable), so all Model instances with the same configuration and
+    shapes share one compiled executable."""
     return step_mod.advance(land, psnveg, albveg, snicar, params, state,
-                            forc, phen, dtime)
+                            forc, phen, dtime,
+                            elm_correct_snow_aging=aging_fix)
 
 
 class ScanDiagnostics(NamedTuple):
@@ -56,10 +57,10 @@ class ScanDiagnostics(NamedTuple):
     niters_canopy_mean: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3),
-                   donate_argnums=(6,))
-def _jitted_scan(land, psnveg, albveg, dtime, snicar, params, state,
-                 forc_stack, phen_stack):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(7,))
+def _jitted_scan(land, psnveg, albveg, dtime, aging_fix, snicar, params,
+                 state, forc_stack, phen_stack):
     """K timesteps inside ONE executable via ``lax.scan`` — amortizes
     dispatch (the dominant cost at small batch on a remote-tunnel
     backend) and lets XLA overlap steps' epilogue/prologue.  The
@@ -68,7 +69,8 @@ def _jitted_scan(land, psnveg, albveg, dtime, snicar, params, state,
     def body(st, fp):
         forc, phen = fp
         st, d = step_mod.advance(land, psnveg, albveg, snicar, params, st,
-                                 forc, phen, dtime)
+                                 forc, phen, dtime,
+                                 elm_correct_snow_aging=aging_fix)
         out = ScanDiagnostics(
             errh2o_max=jnp.abs(d.errh2o).max(),
             errh2osno_max=jnp.abs(d.errh2osno).max(),
@@ -103,6 +105,9 @@ class Model:
     phenology_path: str | None = None
     col0: int = 0  # global column offset of this host's shard
     sharding=None  # optional NamedSharding for the column axis
+    # ELM-proper snow grain aging (fixes the reference's double clamp;
+    # see snow_hydrology.snow_aging). Default False = reference-exact.
+    elm_correct_snow_aging: bool = False
 
     def __post_init__(self):
         self.land = c.LandType(ltype=1, ctype=1, vtype=self.vtype)
@@ -137,7 +142,8 @@ class Model:
                                          self._params_sharding())
         self._step = functools.partial(_jitted_step, self.land,
                                        self.psnveg, self.albveg,
-                                       self.dtime)
+                                       self.dtime,
+                                       self.elm_correct_snow_aging)
 
     def _state_sharding(self):
         from jax.sharding import PartitionSpec as P
@@ -201,6 +207,7 @@ class Model:
         self.state.  Returns [nsteps]-shaped domain-reduced diagnostics."""
         forc_stack, phen_stack = self.stack_windows(start, nsteps)
         self.state, diags = _jitted_scan(
-            self.land, self.psnveg, self.albveg, self.dtime, self.snicar,
-            self.params, self.state, forc_stack, phen_stack)
+            self.land, self.psnveg, self.albveg, self.dtime,
+            self.elm_correct_snow_aging, self.snicar, self.params,
+            self.state, forc_stack, phen_stack)
         return diags

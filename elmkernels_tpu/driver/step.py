@@ -76,9 +76,14 @@ class StepDiagnostics(NamedTuple):
 def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             albveg: sa.PFTAlbParams, snicar: SnicarTables,
             params: ModelParams, state: ModelState, forcing: StepForcing,
-            phen: StepPhenology, dtime: float
+            phen: StepPhenology, dtime: float,
+            elm_correct_snow_aging: bool = False
             ) -> tuple[ModelState, StepDiagnostics]:
-    """One dtime step.  Pure function of (state, forcing) — jit/pjit it."""
+    """One dtime step.  Pure function of (state, forcing) — jit/pjit it.
+
+    ``elm_correct_snow_aging=True`` runs the full Flanner-Zender aging
+    with ELM-proper clamping instead of the reference's double-clamp
+    quirk (see snow_hydrology.snow_aging)."""
     s = state
     p = params
     dewmx = 0.1       # elm_kokkos_interface.cc:99
@@ -384,11 +389,18 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     mss2, cnc = sh.update_aerosol_mass_and_concen(
         dtime, st.snl, do_capsnow, gf.qflx_snwcp_ice, st.ice, st.liq,
         st.mss)
-    snw_rds = sh.snow_aging(do_capsnow, st.snl, cb.frac_sno, dtime,
-                            gf.qflx_snwcp_ice, gf.qflx_snow_grnd,
-                            cb.h2osno, st.dz, st.liq, st.ice, st.t,
-                            pc2.qflx_snofrz_lyr, p.snowage_tau,
-                            p.snowage_kappa, p.snowage_drdt0, st.rds)
+    if elm_correct_snow_aging:
+        snw_rds = sh.snow_aging(do_capsnow, st.snl, cb.frac_sno, dtime,
+                                gf.qflx_snwcp_ice, gf.qflx_snow_grnd,
+                                cb.h2osno, st.dz, st.liq, st.ice, st.t,
+                                pc2.qflx_snofrz_lyr, p.snowage_tau,
+                                p.snowage_kappa, p.snowage_drdt0, st.rds,
+                                elm_correct_clamp=True)
+    else:
+        # snow_aging's table pipeline is dead under the reference's
+        # double-clamp quirk; the pinned path is bit-identical (see
+        # snow_aging_pinned) and drops the per-step table gathers
+        snw_rds = sh.snow_aging_pinned(st.snl, cb.h2osno, st.rds)
     snl, t_soisno = st.snl, st.t
     h2osoi_ice, h2osoi_liq = st.ice, st.liq
     dz, z, zi = st.dz, st.z, st.zi

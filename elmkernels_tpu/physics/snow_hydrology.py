@@ -719,15 +719,44 @@ def prune_snow_layers(st: SnowState) -> SnowState:
         jnp.where(inact21, 0.0, st.zi))
 
 
+def snow_aging_pinned(snl, h2osno, snw_rds):
+    """Exact-equivalent fast path for :func:`snow_aging` under the
+    reference's double-clamp quirk.
+
+    The reference clamps the aged radius to SNW_RDS_MIN from BOTH sides
+    (``snow_hydrology_impl.hh:216-222``: ``if (snw_rds < MIN) MIN; if
+    (snw_rds > MIN) MIN;`` — ELM proper clamps the upper bound at
+    SNW_RDS_MAX), so for every active layer with finite inputs the
+    output is identically SNW_RDS_MIN and the entire Flanner-Zender
+    table lookup + wet/refreeze growth pipeline is dead computation.
+    This driver-side path reproduces :func:`snow_aging`'s output
+    bit-for-bit (asserted by ``tests/test_snow_hydrology.py``) without
+    the dead work: active layers -> SNW_RDS_MIN, inactive layers of
+    layered columns -> 0, layerless columns -> passthrough, thin
+    layerless pack -> fresh-snow radius in the bottom slot.
+    :func:`snow_aging` itself stays reference-exact and golden-tested.
+    """
+    top = _NSNO - snl
+    lev = _lev()[None, :]
+    active = (lev >= top[:, None]) & (snl > 0)[:, None]
+    out = jnp.where(active, c.SNW_RDS_MIN,
+                    jnp.where((snl > 0)[:, None], 0.0, snw_rds))
+    thin = (snl == 0) & (h2osno > 0.0)
+    return jnp.where(thin[:, None] & (lev == _NSNO - 1), c.SNW_RDS_MIN, out)
+
+
 def snow_aging(do_capsnow, snl, frac_sno, dtime, qflx_snwcp_ice,
                qflx_snow_grnd, h2osno, dz, h2osoi_liq, h2osoi_ice, t_soisno,
                qflx_snofrz_lyr, snowage_tau, snowage_kappa, snowage_drdt0,
-               snw_rds):
+               snw_rds, elm_correct_clamp: bool = False):
     """Snow effective-radius evolution (Flanner & Zender 2006 lookup +
     Brun 1989 wet growth + refreeze), with the reference's final clamp
     behavior replicated exactly (both bounds clamp to SNW_RDS_MIN,
-    ``snow_hydrology_impl.hh:217-223`` — the upper clamp looks like a
-    reference bug but is kept for parity).
+    ``snow_hydrology_impl.hh:217-223`` — the upper clamp is a reference
+    bug: ELM proper, SnowSnicarMod, clamps the max at SNW_RDS_MAX; the
+    extracted kernel pins the radius to fresh snow).  Pass
+    ``elm_correct_clamp=True`` for the ELM-proper [MIN, MAX] clamp, in
+    which case grain aging actually evolves.
 
     Tables are [11, 31, 8] over (T, dT/dz, rho) indices.
     """
@@ -809,9 +838,11 @@ def snow_aging(do_capsnow, snl, frac_sno, dtime, qflx_snwcp_ice,
 
     rds_new = ((snw_rds + dr) * frc_oldsnow + c.SNW_RDS_MIN * frc_newsnow
                + 1000.0 * frc_refrz)
-    # reference clamps BOTH bounds to SNW_RDS_MIN (impl:217-223)
+    # reference clamps BOTH bounds to SNW_RDS_MIN (impl:217-223);
+    # ELM-proper behavior clamps the max at SNW_RDS_MAX
+    hi = c.SNW_RDS_MAX if elm_correct_clamp else c.SNW_RDS_MIN
     rds_new = jnp.where(rds_new < c.SNW_RDS_MIN, c.SNW_RDS_MIN, rds_new)
-    rds_new = jnp.where(rds_new > c.SNW_RDS_MIN, c.SNW_RDS_MIN, rds_new)
+    rds_new = jnp.where(rds_new > hi, hi, rds_new)
 
     out = jnp.where(active, rds_new, jnp.where((snl > 0)[:, None], 0.0,
                                                snw_rds))

@@ -250,26 +250,40 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     rdir_c = apg0 * rdif_de + amg0 * (tdif_de * trnlay_c - 1.0)
     tdir_c = apg0 * tdif_de + (amg0 * rdif_de - apg0 + 1.0) * trnlay_c
 
-    # Gaussian angular re-integration of rdif/tdif (impl:456-484),
-    # folded into a trailing quadrature axis
-    mu_g = jnp.asarray(_DIFGAUSPT)        # [8]
-    wt_g = jnp.asarray(_DIFGAUSWT)
-    swt = jnp.sum(mu_g * wt_g)
-    ts_e = ts_b[..., None]
-    lm_e = lm[..., None]
-    ws_e = ws_b[..., None]
-    gs_e = gs_b[..., None]
-    trn = jnp.maximum(exp_min, jnp.exp(-ts_e / mu_g))
-    denom = 1.0 - lm_e ** 2 * mu_g ** 2
-    alp = 0.75 * ws_e * mu_g * (1.0 + gs_e * (1.0 - ws_e)) / denom
-    gam = 0.5 * ws_e * (1.0 + 3.0 * gs_e * (1.0 - ws_e) * mu_g ** 2) / denom
-    apg = alp + gam
-    amg = alp - gam
-    rdr = apg * rdif_de[..., None] + amg * tdif_de[..., None] * trn - amg
-    tdr = (apg * tdif_de[..., None] + amg * rdif_de[..., None] * trn
-           - apg * trn + trn)
-    rdif_c = jnp.sum(mu_g * wt_g * rdr, axis=-1) / swt
-    tdif_c = jnp.sum(mu_g * wt_g * tdr, axis=-1) / swt
+    # Gaussian angular re-integration of rdif/tdif (impl:456-484).
+    # Rather than materializing [B, ncol, nsno, 8] quadrature tensors
+    # (~26 MB each in emulated f64 — the former per-step hotspot), the
+    # 8-point sum is unrolled as a straight-line accumulation over
+    # scalar angles: with rdr = apg*rdif_de + amg*tdif_de*trn - amg and
+    # tdr = apg*tdif_de + amg*rdif_de*trn - apg*trn + trn, the
+    # μw-weighted sums distribute onto five accumulators
+    #   S_apg = Σ μw·apg    S_amg = Σ μw·amg
+    #   T_apg = Σ μw·apg·trn  T_amg = Σ μw·amg·trn  T_0 = Σ μw·trn
+    # so every temporary stays [B, ncol, nsno] and XLA fuses the whole
+    # quadrature into one kernel (same arithmetic per angle; only the
+    # final summation is re-associated, O(1e-16) relative).
+    alp_f = 0.75 * ws_b * (1.0 + gs_b * (1.0 - ws_b))   # alp = alp_f·μ/D
+    gam_f1 = 0.5 * ws_b                                  # gam = (gam_f1
+    gam_f2 = 1.5 * ws_b * gs_b * (1.0 - ws_b)            #  + gam_f2·μ²)/D
+    lm2 = lm * lm
+    s_apg = s_amg = t_apg = t_amg = t_0 = 0.0
+    swt = 0.0
+    for mu_g, wt_g in zip(_DIFGAUSPT, _DIFGAUSWT):
+        muw = mu_g * wt_g
+        swt += muw
+        trn = jnp.maximum(exp_min, jnp.exp(-ts_b / mu_g))
+        inv_d = 1.0 / (1.0 - lm2 * (mu_g * mu_g))
+        alp = alp_f * mu_g * inv_d
+        gam = (gam_f1 + gam_f2 * (mu_g * mu_g)) * inv_d
+        apg = alp + gam
+        amg = alp - gam
+        s_apg = s_apg + muw * apg
+        s_amg = s_amg + muw * amg
+        t_apg = t_apg + muw * (apg * trn)
+        t_amg = t_amg + muw * (amg * trn)
+        t_0 = t_0 + muw * trn
+    rdif_c = (rdif_de * s_apg + tdif_de * t_amg - s_amg) / swt
+    tdif_c = (tdif_de * s_apg + rdif_de * t_amg - t_apg + t_0) / swt
 
     # --- top-down interface recursion (impl:403-510) ---
     one = jnp.ones((B, ncol), dtype)

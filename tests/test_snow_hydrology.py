@@ -137,3 +137,92 @@ def test_snow_hydrology_golden(fixture_dir):
             v = v[:, None]
         compare(name, v, want, rtol=1e-11, atol=1e-13, errors=errors)
     assert not errors, "\n".join(errors[:25])
+
+
+def test_snow_aging_pinned_equivalence():
+    """The driver's fast path (snow_aging_pinned) must reproduce the full
+    reference-exact snow_aging bit-for-bit: under the reference's
+    double-clamp quirk (snow_hydrology_impl.hh:216-222) every active
+    layer pins to SNW_RDS_MIN, so the table pipeline is dead."""
+    rng = np.random.default_rng(42)
+    n = 256
+    nsno = c.NLEVSNO
+    snl = jnp.asarray(rng.integers(0, nsno + 1, size=n), dtype=jnp.int32)
+    lev = np.arange(nsno)[None, :]
+    active = lev >= (nsno - np.asarray(snl))[:, None]
+    ice = jnp.asarray(np.where(active, rng.uniform(5.0, 100.0, (n, nsno)),
+                               0.0))
+    liq = jnp.asarray(np.where(active, rng.uniform(0.0, 5.0, (n, nsno)),
+                               0.0))
+    dz5 = jnp.asarray(np.where(active, rng.uniform(0.01, 0.3, (n, nsno)),
+                               0.0))
+    t5 = jnp.asarray(np.where(active, rng.uniform(240.0, 273.0, (n, nsno)),
+                              0.0))
+    # combined [ncol, NLEVTOT] arrays as the driver passes them
+    pad = jnp.asarray(rng.uniform(0.1, 1.0, (n, c.NLEVGRND)))
+    tpad = jnp.asarray(rng.uniform(260.0, 280.0, (n, c.NLEVGRND)))
+    liq_c = jnp.concatenate([liq, pad], axis=1)
+    ice_c = jnp.concatenate([ice, pad], axis=1)
+    t_c = jnp.concatenate([t5, tpad], axis=1)
+    dz_c = jnp.concatenate([dz5, pad], axis=1)
+    # snw_rds: >= MIN in active layers (invariant from prior steps),
+    # 0 inactive in layered columns, stale values in layerless columns
+    rds = np.where(active, rng.uniform(c.SNW_RDS_MIN, 1000.0, (n, nsno)),
+                   0.0)
+    nolyr = np.asarray(snl) == 0
+    rds[nolyr] = rng.uniform(0.0, 1000.0, (nolyr.sum(), nsno))
+    rds = jnp.asarray(rds)
+    h2osno = jnp.asarray(np.where(nolyr, rng.uniform(0.0, 1.0, n),
+                                  np.asarray((ice + liq).sum(1))))
+    frac_sno = jnp.asarray(rng.uniform(0.0, 1.0, n))
+    do_capsnow = jnp.asarray(rng.integers(0, 2, n), dtype=jnp.int32)
+    qflx_snwcp_ice = jnp.asarray(rng.uniform(0.0, 1e-4, n))
+    qflx_snow_grnd = jnp.asarray(rng.uniform(0.0, 1e-4, n))
+    qflx_snofrz_lyr = jnp.asarray(
+        np.where(active, rng.uniform(0.0, 1e-5, (n, nsno)), 0.0))
+    tau, kappa, drdt0 = synth_tables()
+
+    full = sh.snow_aging(do_capsnow, snl, frac_sno, DTIME, qflx_snwcp_ice,
+                         qflx_snow_grnd, h2osno, dz_c, liq_c, ice_c, t_c,
+                         qflx_snofrz_lyr, tau, kappa, drdt0, rds)
+    fast = sh.snow_aging_pinned(snl, h2osno, rds)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(fast))
+
+
+def test_snow_aging_elm_correct_clamp_evolves():
+    """With elm_correct_clamp=True (ELM-proper [MIN, MAX] bounds) grain
+    radius actually grows; the reference-exact default pins it at
+    SNW_RDS_MIN."""
+    n, nsno = 4, c.NLEVSNO
+    snl = jnp.full((n,), 3, dtype=jnp.int32)
+    lev = np.arange(nsno)[None, :]
+    active = lev >= (nsno - 3)
+    ice = jnp.asarray(np.where(active, 50.0, 0.0) * np.ones((n, 1)))
+    liq = jnp.asarray(np.where(active, 2.0, 0.0) * np.ones((n, 1)))
+    dz5 = jnp.asarray(np.where(active, 0.1, 0.0) * np.ones((n, 1)))
+    t5 = jnp.asarray(np.where(active, 265.0, 0.0) * np.ones((n, 1)))
+    pad = jnp.full((n, c.NLEVGRND), 0.5)
+    args = dict(
+        do_capsnow=jnp.zeros(n, dtype=jnp.int32), snl=snl,
+        frac_sno=jnp.full((n,), 0.9), dtime=DTIME,
+        qflx_snwcp_ice=jnp.zeros(n), qflx_snow_grnd=jnp.zeros(n),
+        h2osno=jnp.asarray(np.asarray(ice + liq).sum(1)),
+        dz=jnp.concatenate([dz5, pad], axis=1),
+        h2osoi_liq=jnp.concatenate([liq, pad], axis=1),
+        h2osoi_ice=jnp.concatenate([ice, pad], axis=1),
+        t_soisno=jnp.concatenate([t5, jnp.full((n, c.NLEVGRND), 270.0)],
+                                 axis=1),
+        qflx_snofrz_lyr=jnp.zeros((n, nsno)),
+        snw_rds=jnp.asarray(np.where(active, 200.0, 0.0)
+                            * np.ones((n, 1))))
+    tau, kappa, drdt0 = synth_tables()
+
+    ref = sh.snow_aging(**args, snowage_tau=tau, snowage_kappa=kappa,
+                        snowage_drdt0=drdt0)
+    fixed = sh.snow_aging(**args, snowage_tau=tau, snowage_kappa=kappa,
+                          snowage_drdt0=drdt0, elm_correct_clamp=True)
+    act = np.asarray(active & np.ones((n, 1), dtype=bool))
+    assert np.all(np.asarray(ref)[act] == c.SNW_RDS_MIN)
+    # started at 200 um; dr > 0 from the tables, so radius must grow
+    assert np.all(np.asarray(fixed)[act] > 200.0)
+    assert np.all(np.asarray(fixed)[act] <= c.SNW_RDS_MAX)
