@@ -43,3 +43,14 @@ def ref_data_dir():
 @pytest.fixture(scope="session")
 def fixture_dir():
     return TEST_DATA
+
+
+# Both golden datasets shipped by the reference: test/data (48-step blocks)
+# and test/new_data (96-step blocks, from a newer instrumented ELM run).
+# Fixtures under tests/data[/newdata] are generated from the reference's own
+# kernels over each dataset's *_IN.txt (tools/goldengen/Makefile).
+@pytest.fixture(scope="session", params=["data", "newdata"])
+def golden_dirs(request):
+    if request.param == "data":
+        return REF_DATA, TEST_DATA
+    return REF_DATA.parent / "new_data", TEST_DATA / "newdata"

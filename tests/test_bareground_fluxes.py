@@ -57,7 +57,8 @@ FLOAT_KEYS = ["forc_u", "forc_v", "forc_q", "forc_th", "thm", "thv",
               "q_ref2m", "rh_ref2m", "t_soisno"]
 
 
-def test_bareground_fluxes_golden(ref_data_dir, fixture_dir):
+def test_bareground_fluxes_golden(golden_dirs):
+    ref_data_dir, fixture_dir = golden_dirs
     gin = GoldenFile(str(ref_data_dir / "BareGroundFluxes_IN.txt"))
     gref = GoldenFile(str(fixture_dir / "BareGroundFluxes_REF.txt"))
 

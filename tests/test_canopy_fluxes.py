@@ -123,9 +123,10 @@ INT_KEYS = ["snl", "frac_veg_nosno", "nrad", "altmax_indx",
             "altmax_lastyear_indx"]
 
 
-def test_canopy_fluxes_golden(ref_data_dir, fixture_dir):
+def test_canopy_fluxes_golden(golden_dirs, ref_data_dir):
+    _in_dir, fixture_dir = golden_dirs
     p = load_psn_params(ref_data_dir / "clm_params_c180524.nc")
-    gin = GoldenFile(str(ref_data_dir / "CanopyFluxes_IN.txt"))
+    gin = GoldenFile(str(_in_dir / "CanopyFluxes_IN.txt"))
     gref = GoldenFile(str(fixture_dir / "CanopyFluxes_REF.txt"))
     step = make_step(p)
 

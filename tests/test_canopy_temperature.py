@@ -62,7 +62,8 @@ FLOAT_KEYS = ["t_h2osfc", "frac_sno_eff", "frac_h2osfc", "frac_sno",
 INT_KEYS = ["veg_active", "snl", "frac_veg_nosno"]
 
 
-def test_canopy_temperature_golden(ref_data_dir, fixture_dir):
+def test_canopy_temperature_golden(golden_dirs):
+    ref_data_dir, fixture_dir = golden_dirs
     gin = GoldenFile(str(ref_data_dir / "CanopyTemperature_IN.txt"))
     gref = GoldenFile(str(fixture_dir / "CanopyTemperature_REF.txt"))
 

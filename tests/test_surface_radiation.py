@@ -29,7 +29,8 @@ def _rad_step(a):
             "fsr": fsr, "sabg_lyr": sabg_lyr, "trd": tot.trd, "tri": tot.tri}
 
 
-def test_surface_radiation_golden(ref_data_dir, fixture_dir):
+def test_surface_radiation_golden(golden_dirs):
+    ref_data_dir, fixture_dir = golden_dirs
     gin = GoldenFile(str(ref_data_dir / "SurfaceRadiation_IN.txt"))
     gref = GoldenFile(str(fixture_dir / "SurfaceRadiation_REF.txt"))
 
@@ -59,7 +60,8 @@ def _sunshade_step(a):
     return out._asdict()
 
 
-def test_canopy_sunshade_golden(ref_data_dir, fixture_dir):
+def test_canopy_sunshade_golden(golden_dirs):
+    ref_data_dir, fixture_dir = golden_dirs
     gin = GoldenFile(str(ref_data_dir / "CanopySunShadeFractions_IN.txt"))
     gref = GoldenFile(str(fixture_dir / "CanopySunShadeFractions_REF.txt"))
 
