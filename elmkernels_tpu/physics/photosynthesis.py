@@ -214,9 +214,6 @@ def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
                       falsev, zeros, zeros, zeros, zeros, zeros, xfin,
                       jnp.zeros_like(x0_init, dtype=jnp.int32))
 
-    def cond(s: _SecantState):
-        return jnp.any(~s.done & ~s.brent)
-
     def body(s: _SecantState):
         act = ~s.done & ~s.brent
         it = s.it + act.astype(jnp.int32)
@@ -257,7 +254,21 @@ def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
         return _SecantState(x0n, x1n, f0n, f1n, minx, minf, out, done, over,
                             brent, ba, bb, bfa, bfb, btol, xfin, it)
 
-    s = jax.lax.while_loop(cond, body, s0)
+    # The secant phase runs at most itmax+1 body iterations: ``it``
+    # increments every iteration a column stays active, and the overflow
+    # branch retires any column with it > itmax, so after 41 iterations no
+    # column can remain active.  A bounded, unrolled fori_loop is
+    # iteration-for-iteration identical to the reference's while loop
+    # (converged columns are frozen by masking, so extra masked passes are
+    # no-ops) but removes the per-iteration any()-reduce -> scalar sync
+    # that otherwise dominates the profile (~4.4us/iter of overhead for
+    # ~0.5us of vector work at ncol=16k).  The single lax.cond preserves
+    # the night-time fast path (all columns disabled => zero iterations).
+    def _run_secant(s):
+        return jax.lax.fori_loop(0, itmax + 1, lambda i, st: body(st), s,
+                                 unroll=8)
+
+    s = jax.lax.cond(jnp.any(~s0.done), _run_secant, lambda s: s, s0)
 
     # overflow columns: final evaluation at the minimum-f point (line 615)
     _, o_over = ci_func(s.minx, s.out, env, p, c3)
