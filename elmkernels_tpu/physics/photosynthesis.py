@@ -186,9 +186,16 @@ class _SecantState(NamedTuple):
 
 
 def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
-                 out_init: PsnOut):
+                 out_init: PsnOut, inkernel: bool = False):
     """Masked-batch port of ``hybrid`` (lines 516-620) + ``brent``
-    (lines 395-511).  Returns (ci, PsnOut)."""
+    (lines 395-511).  Returns (ci, PsnOut).
+
+    ``inkernel=True`` selects plain ``lax.while_loop``s for both phases —
+    the right shape *inside* a Pallas TPU kernel (``ops/ci_solver.py``),
+    where the loop state lives in VMEM/vregs and the any()-reduce costs
+    nanoseconds instead of a cross-fusion sync.  Both strategies execute
+    the identical masked body, so results do not depend on the mode.
+    """
     eps, eps1, itmax = 1.0e-2, 1.0e-4, 40
     EPS_B, ITMAX_B = 1.0e-2, 20
 
@@ -268,7 +275,11 @@ def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
         return jax.lax.fori_loop(0, itmax + 1, lambda i, st: body(st), s,
                                  unroll=8)
 
-    s = jax.lax.cond(jnp.any(~s0.done), _run_secant, lambda s: s, s0)
+    if inkernel:
+        s = jax.lax.while_loop(lambda s: jnp.any(~s.done & ~s.brent),
+                               body, s0)
+    else:
+        s = jax.lax.cond(jnp.any(~s0.done), _run_secant, lambda s: s, s0)
 
     # overflow columns: final evaluation at the minimum-f point (line 615)
     _, o_over = ci_func(s.minx, s.out, env, p, c3)
@@ -365,6 +376,18 @@ def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
     exhausted = s.brent & ~bf.done
     xfin = jnp.where(exhausted, bf.b, bf.xfin)
     return xfin, bf.out
+
+
+def _use_pallas_solver(x) -> bool:
+    """Route the ci solve through the Pallas VMEM-resident kernel when it
+    applies: f32 data on a TPU backend (decided at trace time).  The f64
+    correctness/golden path always uses the pure-JAX solver; set
+    ELMTPU_NO_PALLAS=1 to force it for f32 too."""
+    import os
+    if os.environ.get("ELMTPU_NO_PALLAS"):
+        return False
+    return (x.dtype == jnp.float32
+            and jax.default_backend() == "tpu")
 
 
 class PhotosynthesisOut(NamedTuple):
@@ -477,7 +500,11 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
                 forc_pbot, cp, kc, ko, tpu_z, kp_z, bbb)
     zero = jnp.zeros_like(cair)
     out0 = PsnOut(zero, zero, zero, zero, zero, zero)
-    ci, out = hybrid_solve(ci0, env, p, c3, enabled & day, out0)
+    if _use_pallas_solver(ci0):
+        from elmkernels_tpu.ops.ci_solver import ci_hybrid_solve
+        ci, out = ci_hybrid_solve(ci0, env, p, c3, enabled & day)
+    else:
+        ci, out = hybrid_solve(ci0, env, p, c3, enabled & day, out0)
 
     gs_mol = jnp.where(out.an < 0.0, bbb, out.gs_mol)
     ci_day = (cair - out.an * forc_pbot
