@@ -119,9 +119,23 @@ class NetCDFForcing:
     host buffers (reference: ``atm_data_impl.hh:248-319``).
 
     File layout: ``<basename>YYYY-MM.nc`` with variables named like the
-    reference's (TBOT/PBOT/QBOT or RH/FLDS/FSDS/PRECTmms/WIND) with dims
-    (DTIME, lat, lon) or (DTIME, gridcell); DTIME in days since the file
-    start.  Cells are flattened in C order and sliced [col0, col0+ncol).
+    reference's (TBOT/PBOT/QBOT-or-RH/FLDS/FSDS/PRECTmms/WIND) with dims
+    in any order containing DTIME (discovery per variable, reference
+    ``atm_data_impl.hh:219-245``); DTIME in days since the file start.
+    Cells are flattened in C order and sliced [col0, col0+ncol).
+
+    Robustness semantics matching the reference:
+
+    - humidity may be specific humidity (QBOT) or relative humidity (RH,
+      percent); ``qbot_is_rh`` reports which, and the device step converts
+      RH after time interpolation via Lowe esat (``atm_data.h:95-186``,
+      ``atm_physics.h:119-140``);
+    - the month window is extended with the next month's first sample so
+      interpolation bridges month boundaries (the reference's windows are
+      continuous in global time);
+    - a step outside the loaded forcing span raises instead of silently
+      reusing stale forcing (``forc_t_idx_check_bounds``,
+      ``atm_data_impl.hh:144-169``).
     """
 
     VAR_NAMES = {"tbot": "TBOT", "pbot": "PBOT", "qbot": "QBOT",
@@ -136,9 +150,39 @@ class NetCDFForcing:
         self.lat_r = np.asarray(lat_r)
         self.lon_r = np.asarray(lon_r)
         self._cache: dict[tuple[int, int], dict] = {}
+        self.qbot_is_rh = self._probe_humidity()
+
+    def _probe_humidity(self) -> bool:
+        """QBOT-or-RH discovery from any existing forcing file (static:
+        it selects the compiled conversion path)."""
+        import glob
+        from elmkernels_tpu.data import netcdf_io
+        files = sorted(glob.glob(self.basename + "*.nc"))
+        if not files:
+            return False
+        if netcdf_io.has_variable(files[0], "QBOT"):
+            return False
+        if netcdf_io.has_variable(files[0], "RH"):
+            return True
+        raise ValueError(f"{files[0]}: neither QBOT nor RH present")
 
     def _path(self, year: int, month: int) -> str:
         return f"{self.basename}{year:04d}-{month:02d}.nc"
+
+    def _read_cells(self, path: str, vname: str) -> np.ndarray:
+        """Read a forcing variable as (t, cell) regardless of the file's
+        dim order (reference ``atm_data_impl.hh:219-245``)."""
+        from elmkernels_tpu.data import netcdf_io
+        arr = netcdf_io.read_var(path, vname)
+        dims = netcdf_io.get_var_dimnames(path, vname)
+        taxes = [i for i, d in enumerate(dims)
+                 if d.lower() in ("dtime", "time")]
+        if len(taxes) != 1:
+            raise ValueError(f"{path}:{vname}: cannot identify the time "
+                             f"axis among dims {dims}")
+        arr = np.moveaxis(arr, taxes[0], 0)
+        arr = arr.reshape(arr.shape[0], -1)
+        return arr[:, self.col0:self.col0 + self.ncol]
 
     def _load_month(self, year: int, month: int) -> dict:
         key = (year, month)
@@ -146,21 +190,31 @@ class NetCDFForcing:
             return self._cache[key]
         from elmkernels_tpu.data import netcdf_io
         path = self._path(year, month)
+        names = dict(self.VAR_NAMES)
+        if self.qbot_is_rh:
+            names["qbot"] = "RH"
         data = {"dtime": netcdf_io.read_var(path, "DTIME")}
-        for k, vname in self.VAR_NAMES.items():
-            arr = netcdf_io.read_var(path, vname)
-            arr = arr.reshape(arr.shape[0], -1)
-            data[k] = arr[:, self.col0:self.col0 + self.ncol]
+        for k, vname in names.items():
+            data[k] = self._read_cells(path, vname)
+        # bridge the month boundary: append the next month's first sample
+        # so the last in-month interval has its right bracket (reference
+        # windows are continuous in global time, atm_data_impl.hh:100-130)
+        ny, nm = (year, month + 1) if month < 12 else (year + 1, 1)
+        npath = self._path(ny, nm)
+        data["has_bridge"] = os.path.exists(npath)
+        if data["has_bridge"]:
+            dt = (data["dtime"][1] - data["dtime"][0]
+                  if len(data["dtime"]) > 1 else 1.0)
+            data["dtime"] = np.concatenate(
+                [data["dtime"], [data["dtime"][-1] + dt]])
+            for k, vname in names.items():
+                nxt = self._read_cells(npath, vname)[:1]
+                data[k] = np.concatenate([data[k], nxt], axis=0)
+            netcdf_io.prefetch(npath)
         self._cache[key] = data
-        # keep at most two months resident (double-buffer semantics), and
-        # warm next month's file on a background native thread (the
-        # reference reads synchronously when the window runs out,
-        # atm_data_impl.hh:248-319)
+        # keep at most two months resident (double-buffer semantics)
         if len(self._cache) > 2:
             self._cache.pop(next(iter(self._cache)))
-        ny, nm = (year, month + 1) if month < 12 else (year + 1, 1)
-        if os.path.exists(self._path(ny, nm)):
-            netcdf_io.prefetch(self._path(ny, nm))
         return data
 
     def window(self, date: Date, dtime: float) -> StepForcing:
@@ -171,8 +225,17 @@ class NetCDFForcing:
         file_start_doy = Date.from_ymd(y, m, 1).doy
         tmid = (date.doy - file_start_doy) * 86400.0 + date.sec \
             + 0.5 * dtime
-        idx = int(np.clip(np.floor(tmid / dt_forc), 0,
-                          len(data["dtime"]) - 2))
+        idx = int(np.floor(tmid / dt_forc))
+        # hard bounds: reusing stale forcing silently is the reference's
+        # assert-failure case (atm_data_impl.hh:144-169)
+        if not 0 <= idx <= len(data["dtime"]) - 2:
+            raise ValueError(
+                f"step at {y:04d}-{m:02d} doy={date.doy} sec={date.sec} "
+                f"needs forcing interval {idx}, but {self._path(y, m)} "
+                f"spans {len(data['dtime'])} samples"
+                + ("" if data["has_bridge"] else
+                   f" and {self._path(*((y, m + 1) if m < 12 else (y + 1, 1)))} "
+                   "does not exist to bridge the month boundary"))
         t0 = idx * dt_forc
         wt2 = float((tmid - t0) / dt_forc)
         wt1 = 1.0 - wt2

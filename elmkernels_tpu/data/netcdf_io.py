@@ -66,6 +66,18 @@ def get_dimensions(path: str, name: str) -> tuple[int, ...]:
     return tuple(int(d) for d in f.variables[name].shape)
 
 
+def get_var_dimnames(path: str, name: str) -> tuple[str, ...]:
+    """Dimension names of a variable (reference ``get_var_dimids``,
+    ``read_netcdf.hh:132-150``, used for forcing dim-order discovery)."""
+    f = open_nc(path)
+    return tuple(f.variables[name].dimensions)
+
+
+def has_variable(path: str, name: str) -> bool:
+    f = open_nc(path)
+    return name in f.variables
+
+
 def reshape_grid_to_cells(arr: np.ndarray) -> np.ndarray:
     """(t, lat, lon) -> (t, cell), matching the reference's
     ``read_and_reshape_forcing`` (``read_input.hh:150-309``)."""

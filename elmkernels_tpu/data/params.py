@@ -42,6 +42,54 @@ PSN_PARAM_NAMES = ["fnr", "act25", "kcha", "koha", "cpha", "vcmaxha",
                    "smpso", "smpsc"]
 
 
+# The full 41-trait surface the reference reads (pft_data.h:20-96); traits
+# beyond the ones the current step consumes are loaded into the table so
+# crop/irrigation physics can gather them without another file pass.
+PFT_TABLE_NAMES = PSN_PARAM_NAMES + [
+    "rholvis", "rholnir", "rhosvis", "rhosnir", "taulvis", "taulnir",
+    "tausvis", "tausnir", "xl", "roota_par", "rootb_par", "displar",
+    "z0mr", "dsladlai", "leaf_long", "evergreen", "stress_decid",
+    "season_decid"]
+
+
+def load_pft_table(path: str) -> dict:
+    """Read the per-PFT trait matrix from clm_params NetCDF: one
+    ``[numpft]`` float array per trait plus the scalar ``tc_stress``.
+
+    Reference: ``pft_data_impl.hh`` (``read_pft_data``), which reads 41
+    trait arrays into ``PFTData``.
+    """
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(path), mmap=False)
+    table = {n: np.array(f.variables[n][:], dtype=np.float64)
+             for n in PFT_TABLE_NAMES if n in f.variables}
+    table["tc_stress"] = float(f.variables["tc_stress"][0])
+    return table
+
+
+def gather_pft_psn(table: dict, vtype: np.ndarray) -> PFTPsnParams:
+    """Per-column photosynthesis traits: gather rows of the trait matrix
+    by each column's PFT (the TPU analog of the reference's per-cell
+    ``get_pft_psn(psn_pft[c], vtype[c])``, ``pft_data_impl.hh:60-96``)."""
+    vt = np.asarray(vtype, np.int64)
+    vals = [jnp.asarray(table[n][vt]) for n in PSN_PARAM_NAMES]
+    vals.append(jnp.full(vt.shape, table["tc_stress"]))
+    return PFTPsnParams(*vals)
+
+
+def gather_pft_alb(table: dict, vtype: np.ndarray) -> PFTAlbParams:
+    """Per-column albedo traits ([ncol, numrad] optics + [ncol] xl).
+    Reference: ``pft_data_impl.hh:103-116`` (``get_pft_alb``)."""
+    vt = np.asarray(vtype, np.int64)
+
+    def band(pre):
+        return jnp.stack([jnp.asarray(table[pre + "vis"][vt]),
+                          jnp.asarray(table[pre + "nir"][vt])], axis=-1)
+    return PFTAlbParams(rhol=band("rhol"), rhos=band("rhos"),
+                        taul=band("taul"), taus=band("taus"),
+                        xl=jnp.asarray(table["xl"][vt]))
+
+
 def load_pft_psn(path: str, vtype: int) -> PFTPsnParams:
     """Photosynthesis traits for one PFT from clm_params NetCDF.
 
@@ -121,7 +169,7 @@ def default_snow_aging_tables():
             jnp.asarray(np.broadcast_to(drdt0, (11, 31, 8)).copy()))
 
 
-def default_params(ncol: int, pft_path: str, vtype: int = 12,
+def default_params(ncol: int, pft_path: str, vtype=12,
                    lat_deg: float = 71.323, lon_deg: float = 203.3886,
                    soil_color: int = 15, pct_sand: float = 40.0,
                    pct_clay: float = 20.0, organic: float = 10.0,
@@ -129,8 +177,13 @@ def default_params(ncol: int, pft_path: str, vtype: int = 12,
     """Assemble ModelParams for a uniform domain, mirroring the reference
     driver's hardwired site (``elm_kokkos_interface.cc:92-96``: Utqiagvik,
     topo_slope raw 0.070, topo_std 3.961) with pedotransfer-derived soil
-    constants."""
+    constants.  ``vtype`` may be an int (homogeneous) or an [ncol] array
+    of PFT indices (per-column vegetation heterogeneity)."""
     ones = jnp.ones((ncol,), dtype)
+    vt = np.asarray(vtype, np.int32)
+    heterog = vt.ndim > 0
+    if heterog and vt.shape != (ncol,):
+        raise ValueError(f"vtype shape {vt.shape} != ({ncol},)")
 
     # soil texture -> hydraulic/thermal constants
     zsoi_soil = jnp.asarray(np.array([
@@ -146,7 +199,8 @@ def default_params(ncol: int, pft_path: str, vtype: int = 12,
     hyd = stx.init_soil_hydraulics(130.0, sand, clay, org, zsoi2)
 
     # topography factors (reference hardwired raw values)
-    land = c.LandType(ltype=1, ctype=1, vtype=vtype)
+    land = c.LandType(ltype=1, ctype=1,
+                      vtype=int(vt if not heterog else vt.flat[0]))
     topo_slope = ini.init_topo_slope(jnp.full((ncol,), 0.070044865858546,
                                               dtype))
     n_melt = ini.init_melt_factor(land, jnp.full((ncol,), 3.96141847422387,
@@ -154,7 +208,12 @@ def default_params(ncol: int, pft_path: str, vtype: int = 12,
     micro_sigma = ini.init_micro_sigma(topo_slope)
 
     # root fraction from PFT root distribution parameters
-    roota, rootb = load_pft_roots(pft_path, vtype)
+    if heterog:
+        table = load_pft_table(pft_path)
+        roota = jnp.asarray(table["roota_par"][vt])
+        rootb = jnp.asarray(table["rootb_par"][vt])
+    else:
+        roota, rootb = load_pft_roots(pft_path, int(vt))
     zisoi_soil = jnp.asarray(np.array([
         0.0, 0.017512817916255204, 0.04509178717593146, 0.09056182041834465,
         0.16552923140455322, 0.28912959650683373, 0.4929121475172655,
@@ -163,19 +222,27 @@ def default_params(ncol: int, pft_path: str, vtype: int = 12,
         17.12589483993117, 28.252045134135592, 42.10319727609919]))
     zi2 = jnp.broadcast_to(zisoi_soil, (ncol, c.NLEVGRND + 1))
     rootfr = ini.init_vegrootfr(land, roota, rootb, zi2)
-
-    displar_v, z0mr_v = load_pft_displar_z0mr(pft_path, vtype)
+    if heterog:
+        # init_vegrootfr's NOVEG early-out is trace-static; mask per column
+        rootfr = jnp.where((vt == c.NOVEG)[:, None],
+                           jnp.zeros_like(rootfr), rootfr)
+        displar_v = jnp.asarray(table["displar"][vt]) * ones
+        z0mr_v = jnp.asarray(table["z0mr"][vt]) * ones
+    else:
+        d_, z_ = load_pft_displar_z0mr(pft_path, int(vt))
+        displar_v, z0mr_v = d_ * ones, z_ * ones
     tau, kappa, drdt0 = default_snow_aging_tables()
     zsmall = 1.0e-12 * ones
 
     return ModelParams(
         lat_r=jnp.full((ncol,), lat_deg * c.ELM_PI / 180.0, dtype),
         lon_r=jnp.full((ncol,), lon_deg * c.ELM_PI / 180.0, dtype),
+        vtype=jnp.asarray(np.broadcast_to(vt, (ncol,)).copy()),
         watsat=hyd.watsat, sucsat=hyd.sucsat, bsw=hyd.bsw,
         watdry=hyd.watdry, watopt=hyd.watopt, watfc=hyd.watfc,
         tkmg=hyd.tkmg, tkdry=hyd.tkdry, csol=hyd.csol, rootfr=rootfr,
         micro_sigma=micro_sigma, n_melt=n_melt,
-        displar_v=displar_v * ones, z0mr_v=z0mr_v * ones,
+        displar_v=displar_v, z0mr_v=z0mr_v,
         albsat=jnp.broadcast_to(jnp.asarray(ALBSAT_20[soil_color - 1]),
                                 (ncol, 2)),
         albdry=jnp.broadcast_to(jnp.asarray(ALBDRY_20[soil_color - 1]),

@@ -27,6 +27,11 @@ from elmkernels_tpu.physics.surface_albedo import PFTAlbParams
 
 AERO_SPECIES = ("bcphi", "bcpho", "dst1", "dst2", "dst3", "dst4")
 
+# deposition-rate keys, in the order StepForcing.aero stacks them
+# (reference AerosolFileInput, aerosol_data.h:10-27)
+AERO_DEP_KEYS = ("bcphi", "bcpho", "bcdep", "dst1_1", "dst1_2", "dst2_1",
+                 "dst2_2", "dst3_1", "dst3_2", "dst4_1", "dst4_2")
+
 
 class ModelState(NamedTuple):
     """Prognostic + carried state, [ncol, ...] arrays."""
@@ -94,6 +99,9 @@ class ModelParams(NamedTuple):
     """Static per-column parameters + lookup tables."""
     lat_r: jnp.ndarray          # [ncol] latitude (radians)
     lon_r: jnp.ndarray
+    # vegetation (PFT) type per column (reference keeps vtype per cell in
+    # ELMState; land_data.h's LandType carries only the domain default)
+    vtype: jnp.ndarray          # i32 [ncol]
     # soil hydraulic/thermal constants [ncol, NLEVGRND]
     watsat: jnp.ndarray
     sucsat: jnp.ndarray
@@ -155,6 +163,11 @@ class StepForcing(NamedTuple):
     decday: jnp.ndarray         # scalar decimal day-of-year (1-based);
                                 # solar geometry (coszen/daylength) is
                                 # derived on device inside the step
+    # monthly-interpolated aerosol deposition rates, [11, ncol] stacked in
+    # AERO_DEP_KEYS order (reference AerosolDataManager,
+    # aerosol_data_old.h:78-); None falls back to the static
+    # ModelParams.aero_* rates
+    aero: jnp.ndarray | None = None
 
 
 class StepPhenology(NamedTuple):

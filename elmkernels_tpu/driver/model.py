@@ -29,15 +29,17 @@ DEFAULT_SNICAR_PATH = "/root/reference/test/data/SnowOptics_IN.txt"
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
-                   donate_argnums=(7,))
-def _jitted_step(land, psnveg, albveg, dtime, aging_fix, snicar, params,
-                 state, forc, phen):
-    """Shared jitted step; land/PFT traits/dtime/flags are static
-    (hashable), so all Model instances with the same configuration and
-    shapes share one compiled executable."""
+                   donate_argnums=(9,))
+def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, snicar,
+                 params, psnveg, albveg, state, forc, phen):
+    """Shared jitted step; land/dtime/flags/psn_mode are static, PFT
+    traits are traced data (scalars for a homogeneous domain, [ncol]
+    arrays for per-column vegetation), so all Model instances with the
+    same configuration and shapes share one compiled executable."""
     return step_mod.advance(land, psnveg, albveg, snicar, params, state,
                             forc, phen, dtime,
-                            elm_correct_snow_aging=aging_fix)
+                            elm_correct_snow_aging=aging_fix,
+                            psn_mode=psn_mode, qbot_is_rh=qbot_is_rh)
 
 
 class ScanDiagnostics(NamedTuple):
@@ -58,9 +60,9 @@ class ScanDiagnostics(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
-                   donate_argnums=(7,))
-def _jitted_scan(land, psnveg, albveg, dtime, aging_fix, snicar, params,
-                 state, forc_stack, phen_stack):
+                   donate_argnums=(9,))
+def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, snicar,
+                 params, psnveg, albveg, state, forc_stack, phen_stack):
     """K timesteps inside ONE executable via ``lax.scan`` — amortizes
     dispatch (the dominant cost at small batch on a remote-tunnel
     backend) and lets XLA overlap steps' epilogue/prologue.  The
@@ -70,7 +72,8 @@ def _jitted_scan(land, psnveg, albveg, dtime, aging_fix, snicar, params,
         forc, phen = fp
         st, d = step_mod.advance(land, psnveg, albveg, snicar, params, st,
                                  forc, phen, dtime,
-                                 elm_correct_snow_aging=aging_fix)
+                                 elm_correct_snow_aging=aging_fix,
+                                 psn_mode=psn_mode, qbot_is_rh=qbot_is_rh)
         out = ScanDiagnostics(
             errh2o_max=jnp.abs(d.errh2o).max(),
             errh2osno_max=jnp.abs(d.errh2osno).max(),
@@ -89,10 +92,16 @@ def _jitted_scan(land, psnveg, albveg, dtime, aging_fix, snicar, params,
 
 @dataclasses.dataclass
 class Model:
-    """A batch of independent land columns + the jitted step."""
+    """A batch of independent land columns + the jitted step.
+
+    ``vtype`` may be an int (homogeneous vegetation, traits fold to
+    scalars) or an [ncol] sequence of PFT indices (per-column vegetation:
+    traits are gathered from the clm_params trait matrix per column, and
+    the photosynthesis pathway compiles "mixed" when C3 and C4 PFTs
+    coexist — reference ``initialize_elm_kokkos.cc:374-431``)."""
     ncol: int
     dtime: float = 1800.0
-    vtype: int = 12
+    vtype: int | list | tuple = 12
     pft_path: str = DEFAULT_PFT_PATH
     snicar_path: str = DEFAULT_SNICAR_PATH
     lat_deg: float = 71.323
@@ -103,6 +112,10 @@ class Model:
     # surfdata NetCDF with MONTHLY_LAI/SAI/HEIGHT_* (12, pft, cells);
     # None selects the synthetic phenology climatology
     phenology_path: str | None = None
+    # aerosoldep_monthly*.nc deposition climatology (12, cells); None
+    # keeps the static ModelParams.aero_* rates (the reference driver
+    # also ships with its monthly manager disabled)
+    aerosol_path: str | None = None
     col0: int = 0  # global column offset of this host's shard
     sharding=None  # optional NamedSharding for the column axis
     # ELM-proper snow grain aging (fixes the reference's double clamp;
@@ -110,9 +123,21 @@ class Model:
     elm_correct_snow_aging: bool = False
 
     def __post_init__(self):
-        self.land = c.LandType(ltype=1, ctype=1, vtype=self.vtype)
-        self.psnveg = params_mod.load_pft_psn(self.pft_path, self.vtype)
-        self.albveg = params_mod.load_pft_alb(self.pft_path, self.vtype)
+        vt = np.asarray(self.vtype, np.int32)
+        if vt.ndim == 0:
+            self.land = c.LandType(ltype=1, ctype=1, vtype=int(vt))
+            self.psnveg = params_mod.load_pft_psn(self.pft_path, int(vt))
+            self.albveg = params_mod.load_pft_alb(self.pft_path, int(vt))
+        else:
+            if vt.shape != (self.ncol,):
+                raise ValueError(
+                    f"vtype shape {vt.shape} != ({self.ncol},)")
+            self.land = c.LandType(ltype=1, ctype=1, vtype=int(vt[0]))
+            table = params_mod.load_pft_table(self.pft_path)
+            self.psnveg = params_mod.gather_pft_psn(table, vt)
+            self.albveg = params_mod.gather_pft_alb(table, vt)
+        from elmkernels_tpu.physics.photosynthesis import psn_mode_of
+        self.psn_mode = psn_mode_of(self.psnveg)
         self.snicar = params_mod.load_snicar_from_text(self.snicar_path)
         self.params = params_mod.default_params(
             self.ncol, self.pft_path, self.vtype, self.lat_deg,
@@ -132,18 +157,24 @@ class Model:
                 PhenologyDataManager
             self.phenology = PhenologyDataManager(
                 self.phenology_path, self.ncol,
-                np.full(self.ncol, self.vtype, dtype=np.int32),
+                np.broadcast_to(vt, (self.ncol,)).astype(np.int32),
                 col0=self.col0)
         else:
             self.phenology = forcing_mod.SyntheticPhenology(self.ncol)
+        if self.aerosol_path is not None:
+            from elmkernels_tpu.data.aerosol_data import AerosolDataManager
+            self.aerosol = AerosolDataManager(self.aerosol_path, self.ncol,
+                                              col0=self.col0)
+        else:
+            self.aerosol = None
         if self.sharding is not None:
             self.state = jax.device_put(self.state, self._state_sharding())
             self.params = jax.device_put(self.params,
                                          self._params_sharding())
-        self._step = functools.partial(_jitted_step, self.land,
-                                       self.psnveg, self.albveg,
-                                       self.dtime,
-                                       self.elm_correct_snow_aging)
+        self._step = functools.partial(
+            _jitted_step, self.land, self.dtime,
+            self.elm_correct_snow_aging, self.psn_mode,
+            getattr(self.forcing, "qbot_is_rh", False))
 
     def _state_sharding(self):
         from jax.sharding import PartitionSpec as P
@@ -166,14 +197,24 @@ class Model:
             return NamedSharding(mesh, P())
         return jax.tree.map(spec, self.params)
 
+    def _attach_aero(self, forc: StepForcing, date: Date) -> StepForcing:
+        if self.aerosol is None:
+            return forc
+        from elmkernels_tpu.data.state import AERO_DEP_KEYS
+        rates = self.aerosol.rates(date)
+        return forc._replace(
+            aero=np.stack([rates[k] for k in AERO_DEP_KEYS]))
+
     def advance(self, date: Date) -> step_mod.StepDiagnostics:
         """One dt starting at ``date``; mutates self.state."""
-        forc = self.forcing.window(date, self.dtime)
+        forc = self._attach_aero(self.forcing.window(date, self.dtime),
+                                 date)
         phen = self.phenology.window(date)
         forc = jax.tree.map(jnp.asarray, forc)
         phen = jax.tree.map(jnp.asarray, phen)
-        self.state, diags = self._step(self.snicar, self.params, self.state,
-                                       forc, phen)
+        self.state, diags = self._step(self.snicar, self.params,
+                                       self.psnveg, self.albveg,
+                                       self.state, forc, phen)
         return diags
 
     def run(self, start: Date, nsteps: int,
@@ -193,7 +234,8 @@ class Model:
         date = start.copy()
         forcs, phens = [], []
         for _ in range(nsteps):
-            forcs.append(self.forcing.window(date, self.dtime))
+            forcs.append(self._attach_aero(
+                self.forcing.window(date, self.dtime), date))
             phens.append(self.phenology.window(date))
             date.increment_seconds(int(self.dtime))
 
@@ -207,7 +249,8 @@ class Model:
         self.state.  Returns [nsteps]-shaped domain-reduced diagnostics."""
         forc_stack, phen_stack = self.stack_windows(start, nsteps)
         self.state, diags = _jitted_scan(
-            self.land, self.psnveg, self.albveg, self.dtime,
-            self.elm_correct_snow_aging, self.snicar, self.params,
-            self.state, forc_stack, phen_stack)
+            self.land, self.dtime, self.elm_correct_snow_aging,
+            self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
+            self.snicar, self.params, self.psnveg,
+            self.albveg, self.state, forc_stack, phen_stack)
         return diags

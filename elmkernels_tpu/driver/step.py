@@ -77,13 +77,17 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             albveg: sa.PFTAlbParams, snicar: SnicarTables,
             params: ModelParams, state: ModelState, forcing: StepForcing,
             phen: StepPhenology, dtime: float,
-            elm_correct_snow_aging: bool = False
+            elm_correct_snow_aging: bool = False,
+            psn_mode: str | None = None,
+            qbot_is_rh: bool = False
             ) -> tuple[ModelState, StepDiagnostics]:
     """One dtime step.  Pure function of (state, forcing) — jit/pjit it.
 
     ``elm_correct_snow_aging=True`` runs the full Flanner-Zender aging
     with ELM-proper clamping instead of the reference's double-clamp
-    quirk (see snow_hydrology.snow_aging)."""
+    quirk (see snow_hydrology.snow_aging).  ``psn_mode`` is the static
+    photosynthesis pathway ("c3"/"c4"/"mixed"); None derives it from the
+    (then necessarily concrete) trait values."""
     s = state
     p = params
     dewmx = 0.1       # elm_kokkos_interface.cc:99
@@ -94,7 +98,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
 
     # =================== init_timestep (init_timestep_kokkos.cc) ==========
     # phenology (phenology_kokkos.cc -> ComputePhenology)
-    vtype = jnp.full_like(s.snl, land.vtype)
+    vtype = p.vtype
+    soybean = (vtype == c.NSOYBEAN) | (vtype == c.NSOYBEANIRRIG)
     phout = ph.compute_phenology(
         phen.mlai[0], phen.mlai[1], phen.msai[0], phen.msai[1],
         phen.mhtop[0], phen.mhtop[1], phen.mhbot[0], phen.mhbot[1],
@@ -109,7 +114,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     forc_pbot = ap.process_pbot(forcing.wt1, forcing.wt2, forcing.pbot[0],
                                 forcing.pbot[1])
     forc_q = ap.process_qbot(forcing.wt1, forcing.wt2, forcing.qbot[0],
-                             forcing.qbot[1], forc_t, forc_pbot)
+                             forcing.qbot[1], forc_t, forc_pbot,
+                             is_rh=qbot_is_rh)
     forc_lwrad = ap.process_flds(forcing.wt1, forcing.wt2, forcing.flds[0],
                                  forcing.flds[1], forc_pbot, forc_q, forc_t)
     # solar geometry on device (the reference computes coszen/daylength
@@ -273,7 +279,7 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         sun.laisha_z, sun.laisun_z, forc_pco2, forc_po2,
         cf_init.dayl_factor, cf_init.btran, cf_init.el, cf_init.qsatl,
         cf_init.qsatldT, cf_init.taf, cf_init.qaf, cf_init.um, cf_init.obu,
-        cf_init.delq, cf_init.t_veg)
+        cf_init.delq, cf_init.t_veg, psn_mode=psn_mode, soybean=soybean)
     cf_cf = cfx.compute_flux(
         land, dtime, snl, frac_veg_nosno, frac_sno, t_soisno, frac_h2osfc,
         s.t_h2osfc, tot.sabv, hum.qg_snow, hum.qg_soil, hum.qg_h2osfc,
@@ -351,7 +357,15 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                        s.qflx_dew_grnd, gf.qflx_rain_grnd, qflx_snomelt,
                        qflx_snow_melt, int_snow, frac_sno, h2osoi_liq,
                        h2osoi_ice, s.mss, dz)
-    mss = sh.compute_aerosol_deposition(dtime, snl, p.aero_in, sw.mss)
+    # deposition rates: monthly-interpolated (StepForcing.aero) when a
+    # deposition climatology is wired, else static params — the reference
+    # disables its monthly manager entirely (aerosol_data_old.h)
+    if forcing.aero is None:
+        aero_in = p.aero_in
+    else:
+        from elmkernels_tpu.data.state import AERO_DEP_KEYS
+        aero_in = {k: forcing.aero[i] for i, k in enumerate(AERO_DEP_KEYS)}
+    mss = sh.compute_aerosol_deposition(dtime, snl, aero_in, sw.mss)
     bcphi, bcpho = sh.aerosol_phase_change(snl, dtime, s.qflx_sub_snow,
                                            sw.h2osoi_liq, sw.h2osoi_ice,
                                            mss["bcphi"], mss["bcpho"])

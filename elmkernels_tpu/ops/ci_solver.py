@@ -27,28 +27,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from elmkernels_tpu.physics.photosynthesis import (CiEnv, PFTPsnParams,
-                                                   PsnOut, hybrid_solve)
+from elmkernels_tpu.physics.photosynthesis import (CiEnv, PsnOut,
+                                                   hybrid_solve)
 
 _LANES = 128
 _N_ENV = len(CiEnv._fields)
 
 
-def _kernel(p: PFTPsnParams, c3: bool, *refs):
+def _kernel(mode: str, *refs):
     in_refs, out_refs = refs[:_N_ENV + 2], refs[_N_ENV + 2:]
     x0 = in_refs[0][:]
     env = CiEnv(*(r[:] for r in in_refs[1:_N_ENV + 1]))
     enabled = in_refs[_N_ENV + 1][:] > 0.5
     zero = jnp.zeros_like(x0)
     out0 = PsnOut(zero, zero, zero, zero, zero, zero)
-    ci, out = hybrid_solve(x0, env, p, c3, enabled, out0, inkernel=True)
+    ci, out = hybrid_solve(x0, env, mode, enabled, out0, inkernel=True)
     for ref, val in zip(out_refs, (ci,) + tuple(out)):
         ref[:] = val
 
 
-@functools.partial(jax.jit, static_argnames=("p", "c3", "block_rows",
+@functools.partial(jax.jit, static_argnames=("mode", "block_rows",
                                              "interpret"))
-def ci_hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool,
+def ci_hybrid_solve(x0_init, env: CiEnv, mode: str,
                     enabled, *, block_rows: int = 32,
                     interpret: bool = False):
     """Pallas-accelerated ``hybrid_solve`` (out_init = zeros, the only
@@ -80,7 +80,7 @@ def ci_hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool,
                         memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((total // _LANES, _LANES), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_kernel, p, c3),
+        functools.partial(_kernel, mode),
         grid=(total // blk,),
         in_specs=[spec] * len(ins),
         out_specs=[spec] * 7,

@@ -70,12 +70,16 @@ def initialize_flux(land: c.LandType, p: psn.PFTPsnParams, snl,
 
     dayl_factor = jnp.clip((dayl * dayl) / (max_dayl * max_dayl), 0.01, 1.0)
 
+    def lay(v):
+        # per-column trait -> broadcastable against [ncol, nlev] layers
+        return v[:, None] if getattr(v, "ndim", 0) == 1 else v
+
     eff_porosity = sms.calc_effective_soilporosity(watsat, h2osoi_ice, dz)
     h2osoi_liqvol = sms.calc_volumetric_h2oliq(eff_porosity, h2osoi_liq, dz)
     rms = sms.calc_root_moist_stress(
-        h2osoi_liqvol, rootfr, t_soisno, p.tc_stress, sucsat, watsat, bsw,
-        p.smpso, p.smpsc, eff_porosity, altmax_indx, altmax_lastyear_indx,
-        jnp.zeros_like(t_grnd))
+        h2osoi_liqvol, rootfr, t_soisno, lay(p.tc_stress), sucsat, watsat,
+        bsw, lay(p.smpso), lay(p.smpsc), eff_porosity, altmax_indx,
+        altmax_lastyear_indx, jnp.zeros_like(t_grnd))
 
     lt = jnp.minimum(elai + esai, tlsai_crit)
     import math
@@ -195,12 +199,17 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
                         vcmaxcintsun, parsha_z, parsun_z, laisha_z, laisun_z,
                         forc_pco2, forc_po2, dayl_factor, btran, el, qsatl,
                         qsatldT, taf, qaf, um, obu, delq,
-                        t_veg) -> StabilityOut:
+                        t_veg, psn_mode: str | None = None,
+                        soybean=None) -> StabilityOut:
     """Leaf-temperature Newton iteration (≤40 iterations + convergence on
     both Δt_veg < 0.01 K and Δefe < 0.1 W/m²), with per-iteration sun and
     shade photosynthesis solves.
 
     Reference: ``canopy_fluxes_impl.hh:185-452`` (``stability_iteration``).
+    ``psn_mode``/``soybean`` support per-column vegetation: ``psn_mode`` is
+    the static photosynthesis pathway (None derives it from concrete
+    traits), ``soybean`` a per-column btran-boost mask (None derives it
+    from the domain-wide ``land.vtype``).
     """
     btran0 = 0.0
     beta = 1.0
@@ -214,7 +223,10 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
     veg = frac_veg_nosno != 0
     t_top_sno = take_layer(t_soisno, c.NLEVSNO - snl)
     t_top_soil = t_soisno[:, c.NLEVSNO]
-    soybean = land.vtype in (c.NSOYBEAN, c.NSOYBEANIRRIG)
+    if soybean is None:
+        soybean = land.vtype in (c.NSOYBEAN, c.NSOYBEANIRRIG)
+    # stack sun+shade: per-column traits and masks are tiled to [2*ncol]
+    p2 = psn.tile_traits(p, 2)
 
     z = jnp.zeros_like(t_grnd)
     s0 = _LoopState(
@@ -269,12 +281,18 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
         # [2*ncol] batch so the hybrid secant/Brent while_loops run once
         # per outer iteration instead of twice (per-column iteration
         # sequences — and hence results — are unchanged).
-        btran_sun = s.btran
-        if soybean:
-            btran_sun = jnp.minimum(1.0, btran_sun * 1.25)
-        btran_sha = btran_sun
-        if soybean:
-            btran_sha = jnp.minimum(1.0, btran_sha * 1.25)
+        if isinstance(soybean, bool):
+            btran_sun = s.btran
+            if soybean:
+                btran_sun = jnp.minimum(1.0, btran_sun * 1.25)
+            btran_sha = btran_sun
+            if soybean:
+                btran_sha = jnp.minimum(1.0, btran_sha * 1.25)
+        else:
+            def boost(b):
+                return jnp.where(soybean, jnp.minimum(1.0, b * 1.25), b)
+            btran_sun = boost(s.btran)
+            btran_sha = boost(btran_sun)
         btran_i = btran_sha
 
         def cat(a, b):
@@ -284,11 +302,12 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
             return jnp.concatenate([a, a], axis=0)
 
         psn_both = psn.photosynthesis(
-            p, cat2(nrad), cat2(forc_pbot), cat2(s.t_veg), cat2(t10),
+            p2, cat2(nrad), cat2(forc_pbot), cat2(s.t_veg), cat2(t10),
             cat2(svpts), cat2(eah), cat2(forc_po2), cat2(forc_pco2),
             cat2(rb), cat(btran_sun, btran_sha), cat2(dayl_factor),
             cat2(thm), cat2(tlai_z), cat(vcmaxcintsun, vcmaxcintsha),
-            cat(parsun_z, parsha_z), cat(laisun_z, laisha_z), cat2(act))
+            cat(parsun_z, parsha_z), cat(laisun_z, laisha_z), cat2(act),
+            mode=psn_mode)
         ncol = s.t_veg.shape[0]
         rssun = psn_both.rs[:ncol]
         rssha = psn_both.rs[ncol:]

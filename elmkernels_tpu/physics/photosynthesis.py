@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from elmkernels_tpu import constants as c
 
@@ -32,8 +33,13 @@ _RSMAX0 = 2.0e4
 
 class PFTPsnParams(NamedTuple):
     """Photosynthesis PFT traits (reference ``PFTDataPSN``,
-    ``pft_data.h:20-26`` / ``pft_data_impl.hh:60-96``), plain floats so
-    they fold to compile-time constants."""
+    ``pft_data.h:20-26`` / ``pft_data_impl.hh:60-96``).
+
+    Fields are plain floats for a homogeneous (single-PFT) domain — they
+    fold to compile-time constants — or ``[ncol]`` arrays for a
+    heterogeneous domain (the TPU analog of the reference's per-cell
+    ``get_pft_psn(psn_pft[c], vtype[c])`` extraction,
+    ``initialize_elm_kokkos.cc:374-431``)."""
     fnr: float
     act25: float
     kcha: float
@@ -89,8 +95,37 @@ def quadratic_roots(a, b, c_):
     return r1, r2
 
 
+def psn_mode_of(p: PFTPsnParams) -> str:
+    """Static photosynthesis pathway for a trait set: ``"c3"``, ``"c4"``,
+    or ``"mixed"`` (both pathways compiled, selected per column by
+    ``c3psn``).  Must be decided from *concrete* traits (host side); traced
+    traits require the caller to pass the mode explicitly."""
+    v = p.c3psn
+    if isinstance(v, jax.core.Tracer):
+        raise ValueError(
+            "c3psn is traced; pass psn_mode explicitly (it is a static "
+            "compilation choice, decided host-side from concrete traits)")
+    arr = np.asarray(v)
+    if np.all(arr == arr.flat[0]):
+        return "c3" if round(float(arr.flat[0])) == 1 else "c4"
+    return "mixed"
+
+
+def tile_traits(p: PFTPsnParams, reps: int) -> PFTPsnParams:
+    """Tile per-column trait arrays ``reps`` times along the column axis
+    (for stacked sun+shade batches); scalar traits pass through."""
+    def f(v):
+        if getattr(v, "ndim", 0) >= 1:
+            return jnp.tile(v, reps)
+        return v
+    return PFTPsnParams(*(f(v) for v in p))
+
+
 class CiEnv(NamedTuple):
-    """Per-column environment for the ci residual function."""
+    """Per-column environment for the ci residual function.  The trailing
+    four fields carry the PFT traits the residual consumes, broadcast per
+    column, so the solver (and its Pallas kernel) is closed over data —
+    no static trait capture, heterogeneous batches included."""
     gb_mol: jnp.ndarray
     je: jnp.ndarray
     cair: jnp.ndarray
@@ -106,6 +141,10 @@ class CiEnv(NamedTuple):
     tpu_z: jnp.ndarray
     kp_z: jnp.ndarray
     bbb: jnp.ndarray
+    qe: jnp.ndarray        # PFT trait (c4 light-response slope)
+    theta_cj: jnp.ndarray  # PFT trait (colimitation shape)
+    mbbopt: jnp.ndarray    # PFT trait (Ball-Berry slope)
+    c3frac: jnp.ndarray    # c3psn per column (used when mode == "mixed")
 
 
 class PsnOut(NamedTuple):
@@ -121,28 +160,39 @@ def _sel_out(mask, new: PsnOut, old: PsnOut) -> PsnOut:
     return PsnOut(*(jnp.where(mask, n, o) for n, o in zip(new, old)))
 
 
-def ci_func(ci, prev: PsnOut, env: CiEnv, p: PFTPsnParams,
-            c3: bool) -> tuple[jnp.ndarray, PsnOut]:
+def ci_func(ci, prev: PsnOut, env: CiEnv,
+            mode: str) -> tuple[jnp.ndarray, PsnOut]:
     """Residual f(ci) = ci - (ca - an*(1.4gs+1.6gb)/(gb*gs)*patm) and the
     photosynthesis rates/conductance at this ci.
 
     Reference: lines 307-390 (``ci_func``).  On ``an < 0`` the reference
     returns early with fval = 0 and leaves gs_mol untouched — reproduced by
-    carrying the previous gs_mol.
+    carrying the previous gs_mol.  ``mode`` is a static pathway selector:
+    pure batches compile one branch; ``"mixed"`` compiles both and selects
+    per column by ``env.c3frac`` (scalar math — both branches are cheap).
     """
-    if c3:
-        ac = (env.vcmax_z * jnp.maximum(ci - env.cp, 0.0)
-              / (ci + env.kc * (1.0 + env.oair / env.ko)))
-        aj = (env.je * jnp.maximum(ci - env.cp, 0.0)
-              / (4.0 * ci + 8.0 * env.cp))
-        ap = 3.0 * env.tpu_z
+    if mode != "c4":
+        ac3 = (env.vcmax_z * jnp.maximum(ci - env.cp, 0.0)
+               / (ci + env.kc * (1.0 + env.oair / env.ko)))
+        aj3 = (env.je * jnp.maximum(ci - env.cp, 0.0)
+               / (4.0 * ci + 8.0 * env.cp))
+        ap3 = 3.0 * env.tpu_z
+    if mode != "c3":
+        ac4 = env.vcmax_z
+        aj4 = env.qe * env.par_z * 4.6
+        ap4 = env.kp_z * jnp.maximum(ci, 0.0) / env.forc_pbot
+    if mode == "c3":
+        ac, aj, ap = ac3, aj3, ap3
+    elif mode == "c4":
+        ac, aj, ap = ac4, aj4, ap4
     else:
-        ac = env.vcmax_z
-        aj = p.qe * env.par_z * 4.6
-        ap = env.kp_z * jnp.maximum(ci, 0.0) / env.forc_pbot
+        isc3 = env.c3frac >= 0.5
+        ac = jnp.where(isc3, ac3, ac4)
+        aj = jnp.where(isc3, aj3, aj4)
+        ap = jnp.where(isc3, ap3, ap4)
 
     r1, r2 = quadratic_roots(
-        jnp.full_like(ac, p.theta_cj), -(ac + aj), ac * aj)
+        jnp.broadcast_to(env.theta_cj, ac.shape), -(ac + aj), ac * aj)
     ai = jnp.minimum(r1, r2)
     r1, r2 = quadratic_roots(
         jnp.full_like(ac, _THETA_IP), -(ai + ap), ai * ap)
@@ -152,9 +202,9 @@ def ci_func(ci, prev: PsnOut, env: CiEnv, p: PFTPsnParams,
     neg = an < 0.0
     cs = jnp.maximum(env.cair - 1.4 / env.gb_mol * an * env.forc_pbot, 1.e-6)
     r1, r2 = quadratic_roots(
-        cs, cs * (env.gb_mol - env.bbb) - p.mbbopt * an * env.forc_pbot,
+        cs, cs * (env.gb_mol - env.bbb) - env.mbbopt * an * env.forc_pbot,
         -env.gb_mol * (cs * env.bbb
-                       + p.mbbopt * an * env.forc_pbot * env.rh_can))
+                       + env.mbbopt * an * env.forc_pbot * env.rh_can))
     gs_new = jnp.maximum(r1, r2)
     gs_mol = jnp.where(neg, prev.gs_mol, gs_new)
     gs_safe = jnp.where(gs_mol != 0.0, gs_mol, 1.0)
@@ -185,28 +235,32 @@ class _SecantState(NamedTuple):
     it: jnp.ndarray
 
 
-def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
+def hybrid_solve(x0_init, env: CiEnv, mode: str, enabled,
                  out_init: PsnOut, inkernel: bool = False):
     """Masked-batch port of ``hybrid`` (lines 516-620) + ``brent``
     (lines 395-511).  Returns (ci, PsnOut).
 
-    ``inkernel=True`` selects plain ``lax.while_loop``s for both phases —
-    the right shape *inside* a Pallas TPU kernel (``ops/ci_solver.py``),
-    where the loop state lives in VMEM/vregs and the any()-reduce costs
-    nanoseconds instead of a cross-fusion sync.  Both strategies execute
-    the identical masked body, so results do not depend on the mode.
+    ``inkernel`` is accepted for API compatibility with the Pallas wrapper
+    (``ops/ci_solver.py``) but both modes now run the identical
+    ``lax.while_loop``: a round-1 experiment that replaced the default
+    path with a bounded unrolled ``fori_loop`` (commit 4c9d210) produced
+    differently-fused arithmetic whose rounding diverged from this path by
+    ~1e-4 after 40 secant iterations, breaking the exact-parity contract
+    with the Pallas kernel — and regressed the f64 step ~21%.  One loop,
+    one compilation, bit-exact everywhere.
     """
+    del inkernel
     eps, eps1, itmax = 1.0e-2, 1.0e-4, 40
     EPS_B, ITMAX_B = 1.0e-2, 20
 
-    f0, o = ci_func(x0_init, out_init, env, p, c3)
+    f0, o = ci_func(x0_init, out_init, env, mode)
     out = _sel_out(enabled, o, out_init)
     done = (~enabled) | (f0 == 0.0)
     xfin = x0_init
     minx, minf = x0_init, f0
 
     x1 = x0_init * 0.99
-    f1, o = ci_func(x1, out, env, p, c3)
+    f1, o = ci_func(x1, out, env, mode)
     out = _sel_out(~done, o, out)
     newly = (~done) & (f1 == 0.0)
     xfin = jnp.where(newly, x1, xfin)
@@ -235,7 +289,7 @@ def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
         x0n = jnp.where(act2, s.x1, s.x0)
         f0n = jnp.where(act2, s.f1, s.f0)
         x1n = jnp.where(act2, x, s.x1)
-        f1e, o2 = ci_func(x1n, s.out, env, p, c3)
+        f1e, o2 = ci_func(x1n, s.out, env, mode)
         out = _sel_out(act2, o2, s.out)
         f1n = jnp.where(act2, f1e, s.f1)
         updm = act2 & (f1n < s.minf)
@@ -261,28 +315,11 @@ def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
         return _SecantState(x0n, x1n, f0n, f1n, minx, minf, out, done, over,
                             brent, ba, bb, bfa, bfb, btol, xfin, it)
 
-    # The secant phase runs at most itmax+1 body iterations: ``it``
-    # increments every iteration a column stays active, and the overflow
-    # branch retires any column with it > itmax, so after 41 iterations no
-    # column can remain active.  A bounded, unrolled fori_loop is
-    # iteration-for-iteration identical to the reference's while loop
-    # (converged columns are frozen by masking, so extra masked passes are
-    # no-ops) but removes the per-iteration any()-reduce -> scalar sync
-    # that otherwise dominates the profile (~4.4us/iter of overhead for
-    # ~0.5us of vector work at ncol=16k).  The single lax.cond preserves
-    # the night-time fast path (all columns disabled => zero iterations).
-    def _run_secant(s):
-        return jax.lax.fori_loop(0, itmax + 1, lambda i, st: body(st), s,
-                                 unroll=8)
-
-    if inkernel:
-        s = jax.lax.while_loop(lambda s: jnp.any(~s.done & ~s.brent),
-                               body, s0)
-    else:
-        s = jax.lax.cond(jnp.any(~s0.done), _run_secant, lambda s: s, s0)
+    s = jax.lax.while_loop(lambda s: jnp.any(~s.done & ~s.brent),
+                           body, s0)
 
     # overflow columns: final evaluation at the minimum-f point (line 615)
-    _, o_over = ci_func(s.minx, s.out, env, p, c3)
+    _, o_over = ci_func(s.minx, s.out, env, mode)
     out = _sel_out(s.over, o_over, s.out)
 
     # ---- Brent phase for columns that bracketed a root ----------------------
@@ -358,7 +395,7 @@ def hybrid_solve(x0_init, env: CiEnv, p: PFTPsnParams, c3: bool, enabled,
         step = jnp.where(jnp.abs(d_next) > tol1, d_next, signed_tol)
         b_next = bb_ + step
 
-        fbe, ob = ci_func(b_next, b.out, env, p, c3)
+        fbe, ob = ci_func(b_next, b.out, env, mode)
         outn = _sel_out(act2, ob, b.out)
         fb_next = jnp.where(act2, fbe, fb)
         hit = act2 & (fb_next == 0.0)
@@ -397,16 +434,24 @@ class PhotosynthesisOut(NamedTuple):
 
 def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
                    eair, oair, cair, rb, btran, dayl_factor, thm, tlai_z,
-                   vcmaxcint, par_z, lai_z, enabled) -> PhotosynthesisOut:
+                   vcmaxcint, par_z, lai_z, enabled,
+                   mode: str | None = None) -> PhotosynthesisOut:
     """Leaf photosynthesis + stomatal resistance for one canopy phase
     (sun or shade).  nlevcan == 1 big-leaf path.
 
     Reference: lines 7-282 (``photosynthesis``).  ``enabled`` masks columns
     for which the result is used (inactive columns still compute but are
-    numerically safe).
+    numerically safe).  ``mode`` selects the compiled pathway ("c3"/"c4"/
+    "mixed"); None derives it from concrete ``p.c3psn`` (homogeneous
+    trait sets only).
     """
     assert c.NLEVCAN == 1
-    c3 = round(p.c3psn) == 1
+    if mode is None:
+        mode = psn_mode_of(p)
+    c3 = mode == "c3"
+    mixed = mode == "mixed"
+    if mixed:
+        isc3 = jnp.asarray(p.c3psn) >= 0.5
 
     # squeeze the single canopy layer up front: carrying a trailing
     # [ncol, 1] through the iterative solvers makes XLA emit hundreds of
@@ -426,7 +471,9 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
     tpu25top = 0.167 * vcmax25top
     kp25top = 20000.0 * vcmax25top
 
-    if c3:
+    if mixed:
+        lmr25top = vcmax25top * jnp.where(isc3, 0.015, 0.025)
+    elif c3:
         lmr25top = vcmax25top * 0.015
     else:
         lmr25top = vcmax25top * 0.025
@@ -434,13 +481,19 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
     # single canopy layer (nrad == 1): nscaler = canopy-integrated factor
     nscaler = vcmaxcint
     lmr25 = lmr25top * nscaler
-    if c3:
+    if mode != "c4":
         lmrc = fth25(p.lmrhd, p.lmrse)
-        lmr_z = lmr25 * ft(t_veg, p.lmrha) * fth(t_veg, p.lmrhd, p.lmrse,
-                                                 lmrc)
+        lmr_z_c3 = lmr25 * ft(t_veg, p.lmrha) * fth(t_veg, p.lmrhd,
+                                                    p.lmrse, lmrc)
+    if mode != "c3":
+        lmr_z_c4 = (lmr25 * 2.0 ** ((t_veg - (c.TFRZ + 25.0)) / 10.0)
+                    / (1.0 + jnp.exp(1.3 * (t_veg - (c.TFRZ + 55.0)))))
+    if c3:
+        lmr_z = lmr_z_c3
+    elif mixed:
+        lmr_z = jnp.where(isc3, lmr_z_c3, lmr_z_c4)
     else:
-        lmr_z = (lmr25 * 2.0 ** ((t_veg - (c.TFRZ + 25.0)) / 10.0)
-                 / (1.0 + jnp.exp(1.3 * (t_veg - (c.TFRZ + 55.0)))))
+        lmr_z = lmr_z_c4
 
     par0 = par_z
     day = par0 > 0.0
@@ -459,10 +512,12 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
     jmax_z = jmax25 * ft(t_veg, p.jmaxha) * fth(t_veg, p.jmaxhd, jmaxse,
                                                 jmaxc)
     tpu_z = tpu25 * ft(t_veg, p.tpuha) * fth(t_veg, p.tpuhd, tpuse, tpuc)
-    if not c3:
-        vcmax_z = (vcmax25 * 2.0 ** ((t_veg - (c.TFRZ + 25.0)) / 10.0)
-                   / (1.0 + jnp.exp(0.2 * ((c.TFRZ + 15.0) - t_veg)))
-                   / (1.0 + jnp.exp(0.3 * (t_veg - (c.TFRZ + 40.0)))))
+    if mode != "c3":
+        vcmax_z_c4 = (vcmax25 * 2.0 ** ((t_veg - (c.TFRZ + 25.0)) / 10.0)
+                      / (1.0 + jnp.exp(0.2 * ((c.TFRZ + 15.0) - t_veg)))
+                      / (1.0 + jnp.exp(0.3 * (t_veg - (c.TFRZ + 40.0)))))
+        vcmax_z = (jnp.where(isc3, vcmax_z, vcmax_z_c4) if mixed
+                   else vcmax_z_c4)
     kp_z = kp25 * 2.0 ** ((t_veg - (c.TFRZ + 25.0)) / 10.0)
     vcmax_z = jnp.where(day, vcmax_z, 0.0)
     jmax_z = jnp.where(day, jmax_z, 0.0)
@@ -495,16 +550,25 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
                              -(qabs + jmax_z), qabs * jmax_z)
     je = jnp.minimum(r1, r2)
 
-    ci0 = (0.7 if c3 else 0.4) * cair
+    if mixed:
+        ci0 = jnp.where(isc3, 0.7, 0.4) * cair
+    else:
+        ci0 = (0.7 if c3 else 0.4) * cair
+
+    def cc(v):
+        return jnp.broadcast_to(jnp.asarray(v, cair.dtype), cair.shape)
+
     env = CiEnv(gb_mol, je, cair, oair, lmr_z, par0, rh_can, vcmax_z,
-                forc_pbot, cp, kc, ko, tpu_z, kp_z, bbb)
+                forc_pbot, cp, kc, ko, tpu_z, kp_z, bbb,
+                qe=cc(p.qe), theta_cj=cc(p.theta_cj), mbbopt=cc(p.mbbopt),
+                c3frac=cc(p.c3psn))
     zero = jnp.zeros_like(cair)
     out0 = PsnOut(zero, zero, zero, zero, zero, zero)
     if _use_pallas_solver(ci0):
         from elmkernels_tpu.ops.ci_solver import ci_hybrid_solve
-        ci, out = ci_hybrid_solve(ci0, env, p, c3, enabled & day)
+        ci, out = ci_hybrid_solve(ci0, env, mode, enabled & day)
     else:
-        ci, out = hybrid_solve(ci0, env, p, c3, enabled & day, out0)
+        ci, out = hybrid_solve(ci0, env, mode, enabled & day, out0)
 
     gs_mol = jnp.where(out.an < 0.0, bbb, out.gs_mol)
     ci_day = (cair - out.an * forc_pbot

@@ -22,13 +22,26 @@ _EXTKN = 0.3   # detail::extkn — nitrogen allocation extinction coefficient
 
 
 class PFTAlbParams(NamedTuple):
-    """Leaf/stem optical properties for one PFT (reference ``PFTDataAlb``,
-    ``pft_data.h:20-33``): rhol/rhos/taul/taus per band + leaf angle xl."""
-    rhol: jnp.ndarray  # [numrad]
+    """Leaf/stem optical properties (reference ``PFTDataAlb``,
+    ``pft_data.h:20-33``): rhol/rhos/taul/taus per band + leaf angle xl.
+
+    Homogeneous domain: [numrad] tuples + scalar xl (fold to constants).
+    Heterogeneous domain: [ncol, numrad] arrays + [ncol] xl (per-column
+    gather of the trait matrix, like ``get_pft_alb(alb_pft[c], vtype[c])``).
+    """
+    rhol: jnp.ndarray  # [numrad] or [ncol, numrad]
     rhos: jnp.ndarray
     taul: jnp.ndarray
     taus: jnp.ndarray
-    xl: float
+    xl: float          # or [ncol]
+
+
+def _band(v, ib: int):
+    """Band ib of an optics trait: tuple/[numrad] -> scalar;
+    [ncol, numrad] -> [ncol]."""
+    if isinstance(v, (tuple, list)):
+        return v[ib]
+    return v[:, ib] if getattr(v, "ndim", 1) == 2 else v[ib]
 
 
 class InitTimestepOut(NamedTuple):
@@ -255,8 +268,10 @@ def two_stream_solver(land: c.LandType, nrad, coszen, t_veg, fwet, elai,
     per_layer = {}
 
     for ib in range(c.NUMRAD):
-        rho = jnp.maximum(alb_pft.rhol[ib] * wl + alb_pft.rhos[ib] * ws, _MPE)
-        tau = jnp.maximum(alb_pft.taul[ib] * wl + alb_pft.taus[ib] * ws, _MPE)
+        rho = jnp.maximum(_band(alb_pft.rhol, ib) * wl
+                          + _band(alb_pft.rhos, ib) * ws, _MPE)
+        tau = jnp.maximum(_band(alb_pft.taul, ib) * wl
+                          + _band(alb_pft.taus, ib) * ws, _MPE)
 
         omegal = rho + tau
         asu = 0.5 * omegal * gdir / temp0 * temp2
