@@ -254,3 +254,82 @@ class Model:
             self.snicar, self.params, self.psnveg,
             self.albveg, self.state, forc_stack, phen_stack)
         return diags
+
+    def host_windows(self, start: Date, nsteps: int):
+        """``stack_windows`` but strictly host-side: numpy stacks, zero
+        device work — safe to run on a prefetch thread while the device
+        computes (the reference reads its forcing window synchronously
+        between steps, ``atm_data_impl.hh:248-319``; this is the
+        overlapped replacement)."""
+        date = start.copy()
+        forcs, phens = [], []
+        for _ in range(nsteps):
+            forcs.append(self._attach_aero(
+                self.forcing.window(date, self.dtime), date))
+            phens.append(self.phenology.window(date))
+            date.increment_seconds(int(self.dtime))
+
+        def stack(ws):
+            return jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *ws)
+        return stack(forcs), stack(phens)
+
+    def _window_sharding(self, tree):
+        """NamedSharding for [nsteps, ...] forcing stacks: shard any axis
+        of extent ncol on 'col', replicate the rest."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        mesh = self.sharding.mesh
+
+        def spec(x):
+            return NamedSharding(mesh, P(*[
+                "col" if n == self.ncol else None for n in np.shape(x)]))
+        return jax.tree.map(spec, tree)
+
+    def run_windows(self, start: Date, nsteps: int, window: int = 48,
+                    callback: Callable | None = None) -> ScanDiagnostics:
+        """Advance ``nsteps`` as ``nsteps//window`` scan executables with
+        the NEXT window's host assembly + H2D transfer overlapped against
+        the CURRENT window's device compute (double buffer).
+
+        This is the production ingest loop at scale (BASELINE config 5):
+        ``run_scan`` host-assembles the whole [nsteps, ncol] stack up
+        front — a memory wall and dead device time for month-long runs —
+        while here at most two [window, ncol] stacks are live at once.
+        ``callback(date, state, diags)`` fires per window with the
+        window's reduced diagnostics."""
+        if nsteps % window:
+            raise ValueError(f"nsteps={nsteps} not a multiple of "
+                             f"window={window} (one executable per shape)")
+        import concurrent.futures as cf
+
+        def put(stacks):
+            if self.sharding is not None:
+                return jax.device_put(stacks, self._window_sharding(stacks))
+            return jax.device_put(stacks)
+
+        ex = cf.ThreadPoolExecutor(max_workers=1)
+        try:
+            date = start.copy()
+            fut = ex.submit(self.host_windows, date, window)
+            diags_all = []
+            for i in range(nsteps // window):
+                # H2D of this window; the assembly of the NEXT one starts
+                # before the (async) scan dispatch returns control
+                forc, phen = put(fut.result())
+                date = date.copy()
+                date.increment_seconds(int(self.dtime) * window)
+                if (i + 1) * window < nsteps:
+                    fut = ex.submit(self.host_windows, date, window)
+                self.state, d = _jitted_scan(
+                    self.land, self.dtime, self.elm_correct_snow_aging,
+                    self.psn_mode,
+                    getattr(self.forcing, "qbot_is_rh", False),
+                    self.snicar, self.params, self.psnveg, self.albveg,
+                    self.state, forc, phen)
+                diags_all.append(d)
+                if callback is not None:
+                    callback(date, self.state, d)
+        finally:
+            ex.shutdown(wait=False)
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *diags_all)

@@ -50,3 +50,41 @@ def test_scan_jit_cache_is_shared():
     m = Model(ncol=3)
     m.run_scan(Date.from_ymd(1985, 7, 1, 6 * 3600), 4)
     assert _jitted_scan._cache_size() == before
+
+
+def test_run_windows_matches_run_scan():
+    # double-buffered windowed ingest must reproduce the monolithic scan
+    # bit-for-bit: same executable (window == scan length per chunk),
+    # same forcing values, only the ingest pipeline differs.
+    start = Date.from_ymd(1985, 7, 1, 6 * 3600)
+
+    m_scan = Model(ncol=3)
+    m_win = Model(ncol=3)
+
+    d_scan = m_scan.run_scan(start, 2)
+    d_scan2 = m_scan.run_scan(Date.from_ymd(1985, 7, 1, 6 * 3600 + 3600), 2)
+
+    seen = []
+    d_win = m_win.run_windows(start, 4, window=2,
+                              callback=lambda d, s, x: seen.append(d))
+
+    for name, a in zip(m_scan.state._fields, m_scan.state):
+        b = getattr(m_win.state, name)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    np.testing.assert_array_equal(
+        np.asarray(d_win.errsol_max),
+        np.concatenate([np.asarray(d_scan.errsol_max),
+                        np.asarray(d_scan2.errsol_max)]))
+    assert len(seen) == 2  # one callback per window
+    assert seen[1].sec == 6 * 3600 + 4 * 1800
+
+
+def test_run_windows_rejects_ragged():
+    m = Model(ncol=2)
+    try:
+        m.run_windows(Date.from_ymd(1985, 7, 1), 5, window=2)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("ragged window accepted")
