@@ -340,15 +340,18 @@ def fraction_h2osfc(land: c.LandType, micro_sigma, h2osno, h2osfc,
     ponded = h2osfc > min_h2osfc
     sigma = 1.0e3 * micro_sigma  # convert to mm
     sigma_safe = jnp.where(sigma > 0.0, sigma, 1.0)
-    d = jnp.zeros_like(h2osfc)
     sqrt2 = jnp.sqrt(2.0)
-    for _ in range(10):  # fixed-count Newton iteration, unrolled for fusion
-        erf_term = jax_erf(d / (sigma_safe * sqrt2))
+
+    def newton(_, d):  # fixed-count Newton iteration (erf-heavy body
+        erf_term = jax_erf(d / (sigma_safe * sqrt2))  # compiles once)
         fd = (0.5 * d * (1.0 + erf_term)
               + sigma_safe / jnp.sqrt(2.0 * c.ELM_PI)
               * jnp.exp(-(d ** 2) / (2.0 * sigma_safe ** 2)) - h2osfc)
         dfdd = 0.5 * (1.0 + erf_term)
-        d = d - fd / jnp.where(dfdd != 0.0, dfdd, 1.0)
+        return d - fd / jnp.where(dfdd != 0.0, dfdd, 1.0)
+
+    import jax as _jax
+    d = _jax.lax.fori_loop(0, 10, newton, jnp.zeros_like(h2osfc))
     frac_h2osfc = jnp.where(
         ponded, 0.5 * (1.0 + jax_erf(d / (sigma_safe * sqrt2))), 0.0)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
@@ -85,17 +86,21 @@ def snow_water(land: c.LandType, do_capsnow, snl, dtime, frac_sno_eff,
                           0.0)
 
     # --- sequentially zero negative liquid downward (impl:317-324) ---------
+    # (lax.scan over the 6 positions: same per-iteration arithmetic as the
+    # former static unroll, ~6x less HLO — compile time, not runtime)
     top_liq = take_layer(liq, top)
-    running = top_liq < 0.0
-    mflx_neg_snow = jnp.zeros_like(h2osno)
-    for i in range(_NSNO + 1):
-        in_range = i >= top
-        w = liq[:, i]
-        act = running & in_range
-        hit = act & (w < 0.0)
+
+    def _zero_neg(carry, i):
+        liq, running, mflx = carry
+        w = jnp.take(liq, i, axis=1)
+        hit = running & (i >= top) & (w < 0.0)
         liq = jnp.where((lev20[None, :] == i) & hit[:, None], 0.0, liq)
-        mflx_neg_snow = jnp.where(hit, w / dtime, mflx_neg_snow)
-        running = running & hit  # stop at first non-negative layer
+        mflx = jnp.where(hit, w / dtime, mflx)
+        return (liq, running & hit, mflx), None
+
+    (liq, _, mflx_neg_snow), _ = jax.lax.scan(
+        _zero_neg, (liq, top_liq < 0.0, jnp.zeros_like(h2osno)),
+        jnp.arange(_NSNO + 1, dtype=jnp.int32))
 
     # --- porosity / partial volumes (impl:327-335) -------------------------
     lev5 = _lev()
@@ -113,39 +118,46 @@ def snow_water(land: c.LandType, do_capsnow, snl, dtime, frac_sno_eff,
                dst4=0.01)
     wimp, ssi = 0.05, 0.033
 
-    mss = dict(mss)
-    qin = jnp.zeros_like(h2osno)
-    qin_a = {k: jnp.zeros_like(h2osno) for k in scv}
-    qout = jnp.zeros_like(h2osno)
-    for i in range(_NSNO):
-        act = active5[:, i]
-        one = lev5[None, :] == i
+    def _percolate(carry, i):
+        liq, mss, qin, qin_a, qout = carry
+        act = jnp.take(active5, i, axis=1)
         liq = liq.at[:, i].add(jnp.where(act, qin, 0.0))
-        for k in scv:
-            mss[k] = mss[k].at[:, i].add(jnp.where(act, qin_a[k], 0.0))
+        mss = {k: mss[k].at[:, i].add(jnp.where(act, qin_a[k], 0.0))
+               for k in scv}
 
-        if i < _NSNO - 1:
-            blocked = (eff_por[:, i] < wimp) | (eff_por[:, i + 1] < wimp)
-            q = jnp.maximum(0.0, (vol_liq[:, i] - ssi * eff_por[:, i])
-                            * dz5[:, i] * frac_sno_eff)
-            # (reference reads vol_ice[i+i] here — corrected to i+1)
-            q = jnp.minimum(q, (1.0 - vol_ice[:, i + 1] - vol_liq[:, i + 1])
-                            * dz5[:, i + 1] * frac_sno_eff)
-            q = jnp.where(blocked, 0.0, q)
-        else:
-            q = jnp.maximum(0.0, (vol_liq[:, i] - ssi * eff_por[:, i])
-                            * dz5[:, i] * frac_sno_eff)
+        ip1 = jnp.minimum(i + 1, _NSNO - 1)
+        ep_i, ep_n = jnp.take(eff_por, i, axis=1), jnp.take(eff_por, ip1,
+                                                            axis=1)
+        vl_i, vl_n = jnp.take(vol_liq, i, axis=1), jnp.take(vol_liq, ip1,
+                                                            axis=1)
+        vi_n = jnp.take(vol_ice, ip1, axis=1)
+        dz_i, dz_n = jnp.take(dz5, i, axis=1), jnp.take(dz5, ip1, axis=1)
+
+        base = jnp.maximum(0.0, (vl_i - ssi * ep_i) * dz_i * frac_sno_eff)
+        # (reference reads vol_ice[i+i] here — corrected to i+1)
+        cap = (1.0 - vi_n - vl_n) * dz_n * frac_sno_eff
+        blocked = (ep_i < wimp) | (ep_n < wimp)
+        q = jnp.where(i < _NSNO - 1,
+                      jnp.where(blocked, 0.0, jnp.minimum(base, cap)), base)
         q = q * 1000.0
         liq = liq.at[:, i].add(jnp.where(act, -q, 0.0))
         qin = jnp.where(act, q, qin)
         qout = jnp.where(act, q, qout)
 
-        mss_liqice = jnp.maximum(liq[:, i] + ice[:, i], 1.0e-30)
+        mss_liqice = jnp.maximum(jnp.take(liq, i, axis=1)
+                                 + jnp.take(ice, i, axis=1), 1.0e-30)
         for k in scv:
-            qa = q * scv[k] * (mss[k][:, i] / mss_liqice)
-            qa = jnp.minimum(qa, mss[k][:, i])
+            mk_i = jnp.take(mss[k], i, axis=1)
+            qa = jnp.minimum(q * scv[k] * (mk_i / mss_liqice), mk_i)
             mss[k] = mss[k].at[:, i].add(jnp.where(act, -qa, 0.0))
             qin_a[k] = jnp.where(act, qa, qin_a[k])
+        return (liq, mss, qin, dict(qin_a), qout), None
+
+    (liq, mss, _, _, qout), _ = jax.lax.scan(
+        _percolate,
+        (liq, dict(mss), jnp.zeros_like(h2osno),
+         {k: jnp.zeros_like(h2osno) for k in scv}, jnp.zeros_like(h2osno)),
+        jnp.arange(_NSNO, dtype=jnp.int32))
 
     # --- layer thickness floor (impl:468-470) ------------------------------
     dz_new5 = jnp.where(active5,
@@ -381,37 +393,51 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
     mflx_snowlyr_col = jnp.zeros_like(h2osno)
 
     # ---- pass 1: eliminate layers with ice <= 0.01 (impl:689-756) ---------
+    # (scanned over the 5 positions — identical per-iteration arithmetic
+    # to the former static unroll; one-hot updates replace .at[static])
     top_old = _NSNO - snl
-    for i in range(_NSNO):
-        m = (i >= top_old) & (ice[:, i] <= 0.01)
-        liq_i = liq[:, i]  # pre-merge values at position i
-        ice_i = ice[:, i]
+
+    def _eliminate(carry, i):
+        t, liq, ice, dz, rds, mss, snl, qflx_sl, mflx = carry
+        liq_i = jnp.take(liq, i, axis=1)  # pre-merge values at position i
+        ice_i = jnp.take(ice, i, axis=1)
+        m = (i >= top_old) & (ice_i <= 0.01)
+        last = i == _NSNO - 1
         # merge mass into the layer below (soil-like land units always)
         if soil_like:
-            liq = liq.at[:, i + 1].add(jnp.where(m, liq_i, 0.0))
-            ice = ice.at[:, i + 1].add(jnp.where(m, ice_i, 0.0))
-            if i == _NSNO - 1:
-                q = jnp.where(m, (liq_i + ice_i) / dtime, 0.0)
-                qflx_sl_top_soil = jnp.where(m, q, qflx_sl_top_soil)
-                mflx_snowlyr_col = mflx_snowlyr_col + q
-            else:
-                dz = dz.at[:, i + 1].add(jnp.where(m, dz[:, i], 0.0))
-                for k in mss:
-                    mss[k] = mss[k].at[:, i + 1].add(
-                        jnp.where(m, mss[k][:, i], 0.0))
+            liq = jnp.where((lev20 == i + 1) & m[:, None],
+                            liq + liq_i[:, None], liq)
+            ice = jnp.where((lev20 == i + 1) & m[:, None],
+                            ice + ice_i[:, None], ice)
+            q = jnp.where(m & last, (liq_i + ice_i) / dtime, 0.0)
+            qflx_sl = jnp.where(m & last, q, qflx_sl)
+            mflx = mflx + q
+            grow = m & ~last
+            dz = jnp.where((lev20 == i + 1) & grow[:, None],
+                           dz + jnp.take(dz, i, axis=1)[:, None], dz)
+            mss = {k: jnp.where((lev5 == i + 1) & grow[:, None],
+                                v + jnp.take(v, i, axis=1)[:, None], v)
+                   for k, v in mss.items()}
         # shift elements above down one
         topc = _NSNO - snl
         do_shift = m & (i > topc) & (snl > 1)
         lo = topc
-        hi = jnp.full_like(topc, i)
+        hi = jnp.zeros_like(topc) + i
         t = _shift_down(t, do_shift, lo, hi, _NSNO)
         liq = _shift_down(liq, do_shift, lo, hi, _NSNO)
         ice = _shift_down(ice, do_shift, lo, hi, _NSNO)
         dz = _shift_down(dz, do_shift, lo, hi, _NSNO)
         rds = _shift_down(rds, do_shift, lo, hi, _NSNO)
-        for k in mss:
-            mss[k] = _shift_down(mss[k], do_shift, lo, hi, _NSNO)
+        mss = {k: _shift_down(v, do_shift, lo, hi, _NSNO)
+               for k, v in mss.items()}
         snl = jnp.where(m, snl - 1, snl)
+        return (t, liq, ice, dz, rds, mss, snl, qflx_sl, mflx), None
+
+    (t, liq, ice, dz, rds, mss, snl, qflx_sl_top_soil,
+     mflx_snowlyr_col), _ = jax.lax.scan(
+        _eliminate,
+        (t, liq, ice, dz, rds, mss, snl, qflx_sl_top_soil,
+         mflx_snowlyr_col), jnp.arange(_NSNO, dtype=jnp.int32))
 
     # ---- totals (impl:758-769) --------------------------------------------
     active5 = lev5 >= (_NSNO - snl)[:, None]
@@ -445,29 +471,30 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
     frac_sno_eff_n = jnp.where(none_left, 0.0, frac_sno_eff)
     int_snow_n = jnp.where(none_left, 0.0, int_snow)
 
-    # ---- merge below-minimum layers (impl:813-890) ------------------------
-    mssi = jnp.zeros_like(snl)
-    stop = snl <= 1
+    # ---- merge below-minimum layers (impl:813-890), scanned ---------------
     top_old2 = _NSNO - snl
-    for i in range(_NSNO):
+
+    def _merge(carry, i):
+        t, liq, ice, dz, rds, mss, snl, mssi, stop = carry
         fse = frac_sno_eff_n
-        fse_dz = fse * dz[:, i]
+        dz_i = jnp.take(dz, i, axis=1)
+        fse_dz = fse * dz_i
         fse_dz_safe = jnp.where(fse_dz != 0.0, fse_dz, 1.0)
         thin = ((fse_dz < dzmin[jnp.clip(mssi, 0, 4)])
-                | ((ice[:, i] + liq[:, i]) / fse_dz_safe < 50.0))
+                | ((jnp.take(ice, i, axis=1) + jnp.take(liq, i, axis=1))
+                   / fse_dz_safe < 50.0))
         m = (~stop) & (i >= top_old2) & thin
 
         topc = _NSNO - snl
-        # neighbor selection (impl:823-834)
-        if i == 0:
-            nb_down = jnp.ones_like(m)
-        elif i == _NSNO - 1:
-            nb_down = jnp.zeros_like(m)
-        else:
-            at_topc = i == topc
-            dz_im1 = dz[:, i - 1] + dz[:, i]
-            dz_ip1 = dz[:, i + 1] + dz[:, i]
-            nb_down = at_topc | ~(dz_im1 < dz_ip1)
+        # neighbor selection (impl:823-834): first position always merges
+        # downward, last always upward, middles pick the thinner neighbor
+        at_topc = i == topc
+        dz_im1 = jnp.take(dz, jnp.maximum(i - 1, 0), axis=1) + dz_i
+        dz_ip1 = jnp.take(dz, jnp.minimum(i + 1, _NSNO - 1), axis=1) + dz_i
+        nb_mid = at_topc | ~(dz_im1 < dz_ip1)
+        nb_down = jnp.where(i == 0, jnp.ones_like(nb_mid),
+                            jnp.where(i == _NSNO - 1,
+                                      jnp.zeros_like(nb_mid), nb_mid))
         # nb_down: combine with i+1 (j=i+1, l=i); else j=i, l=i-1
         jidx = jnp.where(nb_down, i + 1, i)
         lidx = jnp.where(nb_down, i, i - 1)
@@ -482,8 +509,8 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
         rds_j, rds_l = gat(rds, jidx), gat(rds, lidx)
 
         tot = wl_j + wi_j + wl_l + wi_l
-        rds_new = (rds_j * (wl_j + wi_j) + rds_l * (wl_l + wi_l)) / jnp.where(
-            tot != 0.0, tot, 1.0)
+        rds_new = (rds_j * (wl_j + wi_j)
+                   + rds_l * (wl_l + wi_l)) / jnp.where(tot != 0.0, tot, 1.0)
         dz_new, wl_new, wi_new, t_new = _combine_vals(
             dz_l, wl_l, wi_l, t_l, dz_j, wl_j, wi_j, t_j)
 
@@ -494,9 +521,8 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
         t = jnp.where(onehot_j, t_new[:, None], t)
         dz = jnp.where(onehot_j, dz_new[:, None], dz)
         rds = jnp.where(onehot_j5, rds_new[:, None], rds)
-        for k in mss:
-            m_j, m_l = gat(mss[k], jidx), gat(mss[k], lidx)
-            mss[k] = jnp.where(onehot_j5, (m_j + m_l)[:, None], mss[k])
+        mss = {k: jnp.where(onehot_j5, (gat(v, jidx) + gat(v, lidx))[:, None],
+                            v) for k, v in mss.items()}
 
         # shift above down one (impl:865-879): k from j-1 down to top
         do_shift = m & ((jidx - 1) > topc)
@@ -507,12 +533,17 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
         ice = _shift_down(ice, do_shift, lo, hi, _NSNO)
         dz = _shift_down(dz, do_shift, lo, hi, _NSNO)
         rds = _shift_down(rds, do_shift, lo, hi, _NSNO)
-        for k in mss:
-            mss[k] = _shift_down(mss[k], do_shift, lo, hi, _NSNO)
+        mss = {k: _shift_down(v, do_shift, lo, hi, _NSNO)
+               for k, v in mss.items()}
 
         snl = jnp.where(m, snl - 1, snl)
         stop = stop | (m & (snl <= 1))
         mssi = jnp.where((~stop) & (i >= top_old2) & ~m, mssi + 1, mssi)
+        return (t, liq, ice, dz, rds, mss, snl, mssi, stop), None
+
+    (t, liq, ice, dz, rds, mss, snl, _, _), _ = jax.lax.scan(
+        _merge, (t, liq, ice, dz, rds, mss, snl, jnp.zeros_like(snl),
+                 snl <= 1), jnp.arange(_NSNO, dtype=jnp.int32))
 
     # ---- reset node depths/interfaces (impl:893-896) ----------------------
     z, zi = _rebuild_snow_mesh(snl, dz, z, zi)
@@ -526,13 +557,22 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
 def _rebuild_snow_mesh(snl, dz, z, zi):
     """z(i) = zi(i+1) - dz/2, zi(i) = zi(i+1) - dz, from bottom snow up."""
     top = _NSNO - snl
-    z_new, zi_new = z, zi
-    for i in range(_NSNO - 1, -1, -1):
-        act = (i >= top)
-        zval = zi_new[:, i + 1] - 0.5 * dz[:, i]
-        zival = zi_new[:, i + 1] - dz[:, i]
-        z_new = z_new.at[:, i].set(jnp.where(act, zval, z_new[:, i]))
-        zi_new = zi_new.at[:, i].set(jnp.where(act, zival, zi_new[:, i]))
+    lev20 = jnp.arange(z.shape[1])[None, :]
+    lev21 = jnp.arange(zi.shape[1])[None, :]
+
+    def body(carry, i):
+        z_new, zi_new = carry
+        act = i >= top
+        dz_i = jnp.take(dz, i, axis=1)
+        zi_next = jnp.take(zi_new, i + 1, axis=1)
+        z_new = jnp.where((lev20 == i) & act[:, None],
+                          (zi_next - 0.5 * dz_i)[:, None], z_new)
+        zi_new = jnp.where((lev21 == i) & act[:, None],
+                           (zi_next - dz_i)[:, None], zi_new)
+        return (z_new, zi_new), None
+
+    (z_new, zi_new), _ = jax.lax.scan(body, (z, zi), jnp.arange(_NSNO, dtype=jnp.int32),
+                                      reverse=True)
     return z_new, zi_new
 
 
@@ -590,89 +630,92 @@ def divide_layers(frac_sno, st: SnowState) -> SnowState:
         dzs, swice, swliq, tsno, rds, ms, msno)
 
     # ---- generic "trim layer k to dmax, push excess into k+1, then maybe
-    #      split k+1" steps of the ladder --------------------------------
-    def trim_and_split(k, dmax, split_cond_msno, split_thresh, dzs, swice,
-                       swliq, tsno, rds, ms, msno):
-        thick = (msno > k + 1) & (dzs[:, k] > dmax)
-        dz_k = jnp.where(dzs[:, k] != 0.0, dzs[:, k], 1.0)
-        drr = dzs[:, k] - dmax
+    #      split k+1" steps of the ladder, scanned over the 4 rungs ------
+    lev5b = _lev()[None, :]
+
+    def trim_and_split(carry, params):
+        dzs, swice, swliq, tsno, rds, ms, msno = carry
+        k, dmax, split_cond_msno, split_thresh = params
+
+        def col(a, idx):
+            return jnp.take(a, idx, axis=1)
+
+        dzs_k = col(dzs, k)
+        thick = (msno > k + 1) & (dzs_k > dmax)
+        dz_k = jnp.where(dzs_k != 0.0, dzs_k, 1.0)
+        drr = dzs_k - dmax
         propor_x = drr / dz_k
-        zwice = propor_x * swice[:, k]
-        zwliq = propor_x * swliq[:, k]
-        zms = {kk: propor_x * v[:, k] for kk, v in ms.items()}
+        zwice = propor_x * col(swice, k)
+        zwliq = propor_x * col(swliq, k)
+        zms = {kk: propor_x * col(v, k) for kk, v in ms.items()}
         propor = dmax / dz_k
 
         sel = thick[:, None]
-        swice = jnp.where(sel, swice.at[:, k].mul(propor), swice)
-        swliq = jnp.where(sel, swliq.at[:, k].mul(propor), swliq)
-        ms = {kk: jnp.where(sel, v.at[:, k].mul(propor)
-                            .at[:, k + 1].add(zms[kk]), v)
+        at_k = lev5b == k
+        at_k1 = lev5b == k + 1
+        at_k2 = lev5b == k + 2
+        swice = jnp.where(sel & at_k, swice * propor[:, None], swice)
+        swliq = jnp.where(sel & at_k, swliq * propor[:, None], swliq)
+        ms = {kk: jnp.where(sel & at_k1, v + zms[kk][:, None],
+                            jnp.where(sel & at_k, v * propor[:, None], v))
               for kk, v in ms.items()}
-        dzs = jnp.where(sel, dzs.at[:, k].set(dmax), dzs)
+        dzs = jnp.where(sel & at_k, dmax, dzs)
 
-        tot = swliq[:, k + 1] + swice[:, k + 1] + zwliq + zwice
-        rds_next = (rds[:, k + 1] * (swliq[:, k + 1] + swice[:, k + 1])
-                    + rds[:, k] * (zwliq + zwice)) / jnp.where(
+        tot = col(swliq, k + 1) + col(swice, k + 1) + zwliq + zwice
+        rds_next = (col(rds, k + 1) * (col(swliq, k + 1) + col(swice, k + 1))
+                    + col(rds, k) * (zwliq + zwice)) / jnp.where(
             tot != 0.0, tot, 1.0)
-        rds = jnp.where(sel, rds.at[:, k + 1].set(rds_next), rds)
+        rds = jnp.where(sel & at_k1, rds_next[:, None], rds)
 
         dz_n, wl_n, wi_n, t_n = _combine_vals(
-            drr, zwliq, zwice, tsno[:, k], dzs[:, k + 1], swliq[:, k + 1],
-            swice[:, k + 1], tsno[:, k + 1])
-        dzs = jnp.where(sel, dzs.at[:, k + 1].set(dz_n), dzs)
-        swliq = jnp.where(sel, swliq.at[:, k + 1].set(wl_n), swliq)
-        swice = jnp.where(sel, swice.at[:, k + 1].set(wi_n), swice)
-        tsno = jnp.where(sel, tsno.at[:, k + 1].set(t_n), tsno)
+            drr, zwliq, zwice, col(tsno, k), col(dzs, k + 1),
+            col(swliq, k + 1), col(swice, k + 1), col(tsno, k + 1))
+        dzs = jnp.where(sel & at_k1, dz_n[:, None], dzs)
+        swliq = jnp.where(sel & at_k1, wl_n[:, None], swliq)
+        swice = jnp.where(sel & at_k1, wi_n[:, None], swice)
+        tsno = jnp.where(sel & at_k1, t_n[:, None], tsno)
 
-        if split_thresh is not None:
-            # subdivide layer k+1 (impl: "Subdivide a new layer")
-            msplit = thick & (msno <= split_cond_msno) & (
-                dzs[:, k + 1] > split_thresh)
-            sel2 = msplit[:, None]
-            dtdz = ((tsno[:, k] - tsno[:, k + 1])
-                    / ((dzs[:, k] + dzs[:, k + 1]) / 2.0))
-            half_dz = dzs[:, k + 1] / 2.0
-            dzs = jnp.where(sel2,
-                            dzs.at[:, k + 1].set(half_dz)
-                            .at[:, k + 2].set(half_dz), dzs)
-            half_i = swice[:, k + 1] / 2.0
-            swice = jnp.where(sel2, swice.at[:, k + 1].set(half_i)
-                              .at[:, k + 2].set(half_i), swice)
-            half_l = swliq[:, k + 1] / 2.0
-            swliq = jnp.where(sel2, swliq.at[:, k + 1].set(half_l)
-                              .at[:, k + 2].set(half_l), swliq)
-            t_low = tsno[:, k + 1] - dtdz * dzs[:, k + 1] / 2.0
-            # the reference's warm check is inconsistent across ladder
-            # steps (impl:1041 checks the new lower layer, impl:1118 the
-            # upper, impl:1194 the lower again) — replicate exactly
-            if k == 1:
-                warm = tsno[:, k + 1] >= c.TFRZ
-            else:
-                warm = t_low >= c.TFRZ
-            tsno = jnp.where(
-                sel2,
-                tsno.at[:, k + 2].set(
-                    jnp.where(warm, tsno[:, k + 1], t_low))
-                .at[:, k + 1].set(
-                    jnp.where(warm, tsno[:, k + 1],
-                              tsno[:, k + 1] + dtdz * dzs[:, k + 1] / 2.0)),
-                tsno)
-            ms = {kk: jnp.where(
-                sel2, v.at[:, k + 1].set(v[:, k + 1] / 2.0)
-                .at[:, k + 2].set(v[:, k + 1] / 2.0), v)
-                for kk, v in ms.items()}
-            rds = jnp.where(sel2, rds.at[:, k + 2].set(rds[:, k + 1]), rds)
-            msno = jnp.where(msplit, k + 3, msno)
-        return dzs, swice, swliq, tsno, rds, ms, msno
+        # subdivide layer k+1 (impl: "Subdivide a new layer"); the last
+        # rung passes split_thresh = +inf so msplit is identically False
+        msplit = thick & (msno <= split_cond_msno) & (
+            col(dzs, k + 1) > split_thresh)
+        sel2 = msplit[:, None]
+        dtdz = ((col(tsno, k) - col(tsno, k + 1))
+                / ((col(dzs, k) + col(dzs, k + 1)) / 2.0))
+        half_dz = col(dzs, k + 1) / 2.0
+        dzs = jnp.where(sel2 & (at_k1 | at_k2), half_dz[:, None], dzs)
+        half_i = col(swice, k + 1) / 2.0
+        swice = jnp.where(sel2 & (at_k1 | at_k2), half_i[:, None], swice)
+        half_l = col(swliq, k + 1) / 2.0
+        swliq = jnp.where(sel2 & (at_k1 | at_k2), half_l[:, None], swliq)
+        t_up = col(tsno, k + 1)
+        # dzs[k+1] is already halved here, so the reference's
+        # "dtdz * dzs[k+1] / 2" is dtdz * half_dz / 2
+        hq = dtdz * half_dz / 2.0
+        t_low = t_up - hq
+        # the reference's warm check is inconsistent across ladder
+        # steps (impl:1041 checks the new lower layer, impl:1118 the
+        # upper, impl:1194 the lower again) — replicate exactly
+        warm = jnp.where(k == 1, t_up >= c.TFRZ, t_low >= c.TFRZ)
+        tsno = jnp.where(
+            sel2 & at_k2, jnp.where(warm, t_up, t_low)[:, None],
+            jnp.where(sel2 & at_k1,
+                      jnp.where(warm, t_up, t_up + hq)[:, None],
+                      tsno))
+        half_ms = {kk: col(v, k + 1) / 2.0 for kk, v in ms.items()}
+        ms = {kk: jnp.where(sel2 & (at_k1 | at_k2), half_ms[kk][:, None], v)
+              for kk, v in ms.items()}
+        rds = jnp.where(sel2 & at_k2, col(rds, k + 1)[:, None], rds)
+        msno = jnp.where(msplit, k + 3, msno)
+        return (dzs, swice, swliq, tsno, rds, ms, msno), None
 
-    dzs, swice, swliq, tsno, rds, ms, msno = trim_and_split(
-        0, 0.02, 2, 0.07, dzs, swice, swliq, tsno, rds, ms, msno)
-    dzs, swice, swliq, tsno, rds, ms, msno = trim_and_split(
-        1, 0.05, 3, 0.18, dzs, swice, swliq, tsno, rds, ms, msno)
-    dzs, swice, swliq, tsno, rds, ms, msno = trim_and_split(
-        2, 0.11, 4, 0.41, dzs, swice, swliq, tsno, rds, ms, msno)
-    dzs, swice, swliq, tsno, rds, ms, msno = trim_and_split(
-        3, 0.23, 99, None, dzs, swice, swliq, tsno, rds, ms, msno)
+    inf = jnp.asarray(jnp.inf, dzs.dtype)
+    ladder = (jnp.arange(4, dtype=jnp.int32),
+              jnp.asarray([0.02, 0.05, 0.11, 0.23], dzs.dtype),
+              jnp.asarray([2, 3, 4, -1], jnp.int32),
+              jnp.asarray([0.07, 0.18, 0.41, inf], dzs.dtype))
+    (dzs, swice, swliq, tsno, rds, ms, msno), _ = jax.lax.scan(
+        trim_and_split, (dzs, swice, swliq, tsno, rds, ms, msno), ladder)
 
     # ---- scatter back to combined layout (impl:1263-1284) -----------------
     snl_new = msno

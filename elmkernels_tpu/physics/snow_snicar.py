@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
@@ -285,84 +286,96 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     rdif_c = (rdif_de * s_apg + tdif_de * t_amg - s_amg) / swt
     tdif_c = (tdif_de * s_apg + rdif_de * t_amg - t_apg + t_0) / swt
 
-    # --- top-down interface recursion (impl:403-510) ---
+    # --- top-down interface recursion (impl:403-510), scanned over layers.
+    # Same per-layer arithmetic as a static unroll (the recursion is
+    # sequential either way); ys stack the per-layer apparent properties
+    # and the interface quantities the later stages need.
     one = jnp.ones((B, ncol), dtype)
     zero = jnp.zeros((B, ncol), dtype)
     act_b = is_lyr_active[None, :, :]  # [1, ncol, nsno]
-    trndir = [one]
-    trntdr = [one]
-    trndif = [one]
-    rdndif = [zero]
-    rdir_l, tdir_l, trnlay_l = [], [], []
-    rdif_a_l, tdif_a_l, rdif_b_l, tdif_b_l = [], [], [], []
-    for i in range(nsno):
-        act = act_b[:, :, i]
-        compute = act & (trntdr[i] > _TRMIN)
+    act_l = jnp.broadcast_to(jnp.moveaxis(act_b, 2, 0),
+                             (nsno, B, ncol))  # [nsno, B, ncol]
+
+    def topdown(carry, x):
+        trndir_i, trntdr_i, trndif_i, rdndif_i = carry
+        act, rdir_ci, tdir_ci, trnlay_ci, rdif_ci, tdif_ci = x
+        compute = act & (trntdr_i > _TRMIN)
 
         def sel(comp_val, ident_val):
             return jnp.where(compute, comp_val,
                              jnp.where(act, zero, ident_val))
-        rdir = sel(rdir_c[:, :, i], zero)
-        tdir = sel(tdir_c[:, :, i], one)
-        trnlay = sel(trnlay_c[:, :, i], one)
-        rdif_a = sel(rdif_c[:, :, i], zero)
-        tdif_a = sel(tdif_c[:, :, i], one)
-        rdif_b = rdif_a
-        tdif_b = tdif_a
-        rdir_l.append(rdir); tdir_l.append(tdir); trnlay_l.append(trnlay)
-        rdif_a_l.append(rdif_a); tdif_a_l.append(tdif_a)
-        rdif_b_l.append(rdif_b); tdif_b_l.append(tdif_b)
+        rdir = sel(rdir_ci, zero)
+        tdir = sel(tdir_ci, one)
+        trnlay = sel(trnlay_ci, one)
+        rdif_a = sel(rdif_ci, zero)
+        tdif_a = sel(tdif_ci, one)
+        # rdif_b/tdif_b alias rdif_a/tdif_a (isotropic layers)
 
-        trndir.append(trndir[i] * trnlay)
-        refkm1 = 1.0 / (1.0 - rdndif[i] * rdif_a)
-        tdrrdir = trndir[i] * rdir
-        tdndif = trntdr[i] - trndir[i]
-        trntdr.append(trndir[i] * tdir
-                      + (tdndif + tdrrdir * rdndif[i]) * refkm1 * tdif_a)
-        rdndif.append(rdif_b + tdif_b * rdndif[i] * refkm1 * tdif_a)
-        trndif.append(trndif[i] * refkm1 * tdif_a)
+        refkm1 = 1.0 / (1.0 - rdndif_i * rdif_a)
+        tdrrdir = trndir_i * rdir
+        tdndif = trntdr_i - trndir_i
+        nxt = (trndir_i * trnlay,
+               trndir_i * tdir
+               + (tdndif + tdrrdir * rdndif_i) * refkm1 * tdif_a,
+               trndif_i * refkm1 * tdif_a,
+               rdif_a + tdif_a * rdndif_i * refkm1 * tdif_a)
+        ys = (rdir, tdir, trnlay, rdif_a, tdif_a,
+              trndir_i, trntdr_i, trndif_i, rdndif_i)
+        return (nxt[0], nxt[1], nxt[2], nxt[3]), ys
 
-    # --- bottom-up reflectivity recursion (impl:526-544) ---
+    xs = tuple(jnp.moveaxis(a, 2, 0)
+               for a in (rdir_c, tdir_c, trnlay_c, rdif_c, tdif_c))
+    (trndir_n, trntdr_n, trndif_n, rdndif_n), ys = jax.lax.scan(
+        topdown, (one, one, one, zero), (act_l,) + xs)
+    (rdir_l, tdir_l, trnlay_l, rdif_a_l, tdif_a_l,
+     trndir_t, trntdr_t, trndif_t, rdndif_t) = ys  # [nsno, B, ncol] each
+    # interface lists 0..nsno: carry-before-update per layer + final carry
+    trndir = jnp.concatenate([trndir_t, trndir_n[None]], axis=0)
+    trntdr = jnp.concatenate([trntdr_t, trntdr_n[None]], axis=0)
+    trndif = jnp.concatenate([trndif_t, trndif_n[None]], axis=0)
+    rdndif = jnp.concatenate([rdndif_t, rdndif_n[None]], axis=0)
+
+    # --- bottom-up reflectivity recursion (impl:526-544), reverse scan ---
     # underlying ground albedo: vis for band 0, nir for bands 1-4
     band_is_vis = (band_id_b == 0)[:, None]
     soil_alb = jnp.where(band_is_vis, albsoi[None, :, 0], albsoi[None, :, 1])
-    rupdir = [None] * (nsno + 1)
-    rupdif = [None] * (nsno + 1)
-    rupdir[nsno] = soil_alb
-    rupdif[nsno] = soil_alb
-    for i in range(nsno - 1, -1, -1):
-        refkp1 = 1.0 / (1.0 - rdif_b_l[i] * rupdif[i + 1])
-        rupdir[i] = (rdir_l[i]
-                     + (trnlay_l[i] * rupdir[i + 1]
-                        + (tdir_l[i] - trnlay_l[i]) * rupdif[i + 1])
-                     * refkp1 * tdif_b_l[i])
-        rupdif[i] = (rdif_a_l[i]
-                     + tdif_a_l[i] * rupdif[i + 1] * refkp1 * tdif_b_l[i])
 
-    # --- net interface fluxes (impl:560-588) ---
+    def bottomup(carry, row):
+        rup_dir_p1, rup_dif_p1 = carry
+        rdir, tdir, trnlay, rdif_a, tdif_a = row
+        refkp1 = 1.0 / (1.0 - rdif_a * rup_dif_p1)
+        rup_dir = (rdir + (trnlay * rup_dir_p1
+                           + (tdir - trnlay) * rup_dif_p1)
+                   * refkp1 * tdif_a)
+        rup_dif = rdif_a + tdif_a * rup_dif_p1 * refkp1 * tdif_a
+        return (rup_dir, rup_dif), (rup_dir, rup_dif)
+
+    _, (rupdir_t, rupdif_t) = jax.lax.scan(
+        bottomup, (soil_alb, soil_alb),
+        (rdir_l, tdir_l, trnlay_l, rdif_a_l, tdif_a_l), reverse=True)
+    rupdir = jnp.concatenate([rupdir_t, soil_alb[None]], axis=0)
+    rupdif = jnp.concatenate([rupdif_t, soil_alb[None]], axis=0)
+
+    # --- net interface fluxes (impl:560-588), vectorized over interfaces.
     # direct rows take the direct-beam flux profile, diffuse rows the
     # diffuse one (the reference's if(flg_slr_in) at impl:578-586)
     is_drc_e = is_drc_b[:, None]
-    dftmp = []
-    for i in range(nsno + 1):
-        refk = 1.0 / (1.0 - rdndif[i] * rupdif[i])
-        dfdir = (trndir[i]
-                 + (trntdr[i] - trndir[i]) * (1.0 - rupdif[i]) * refk
-                 - trndir[i] * rupdir[i] * (1.0 - rdndif[i]) * refk)
-        dfdir = jnp.where(dfdir < _PUNY, 0.0, dfdir)
-        dfdif = trndif[i] * (1.0 - rupdif[i]) * refk
-        dfdif = jnp.where(dfdif < _PUNY, 0.0, dfdif)
-        dftmp.append(jnp.where(is_drc_e, dfdir, dfdif))
+    refk = 1.0 / (1.0 - rdndif * rupdif)
+    dfdir = (trndir + (trntdr - trndir) * (1.0 - rupdif) * refk
+             - trndir * rupdir * (1.0 - rdndif) * refk)
+    dfdir = jnp.where(dfdir < _PUNY, 0.0, dfdir)
+    dfdif = trndif * (1.0 - rupdif) * refk
+    dfdif = jnp.where(dfdif < _PUNY, 0.0, dfdif)
+    dftmp = jnp.where(is_drc_e[None], dfdir, dfdif)  # [nsno+1, B, ncol]
 
     albout_lcl = jnp.where(is_drc_e, rupdir[0], rupdif[0])  # [B, ncol]
 
     # --- absorbed flux per layer + ground (impl:611-646) ---
-    f_abs = [jnp.maximum(dftmp[i] - dftmp[i + 1], 0.0)
-             for i in range(nsno)]
+    f_abs = jnp.maximum(dftmp[:-1] - dftmp[1:], 0.0)
     f_btm = jnp.maximum(dftmp[nsno], 0.0)
-    flx_abs_lcl = jnp.stack(
-        [jnp.where(act_b[:, :, i], f_abs[i], 0.0)
-         for i in range(nsno)] + [f_btm], axis=-1)  # [B, ncol, nsno+1]
+    flx_abs_lcl = jnp.moveaxis(
+        jnp.concatenate([jnp.where(act_l, f_abs, 0.0), f_btm[None]],
+                        axis=0), 0, -1)  # [B, ncol, nsno+1]
 
     return albout_lcl, flx_abs_lcl, mu_not, snw_rds_lcl, snl_top, active
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
@@ -279,45 +280,61 @@ def _assemble_system(snl, dtime, dhsdT, frac_sno_eff, frac_h2osfc,
 
 
 def pdma_solve(lhs, rhs):
-    """Batched pentadiagonal solve (Askar & Karawia 2015 transformations),
-    unrolled over the 21 rows.
+    """Batched pentadiagonal solve (Askar & Karawia 2015 transformations)
+    as two ``lax.scan``s over the 21 rows (same per-row arithmetic as a
+    static unroll — the recurrence is sequential either way — but ~20x
+    less HLO; the batch axis supplies the parallelism).
 
     Reference: ``pentadiagonal_solver_impl.hh:14-76`` (``PDMA``); identity
     padding replaces the reference's variable start row.
     """
     N = NSYS
-    A = [None] * N
-    B = [None] * N
-    Z = [None] * N
-    zero = jnp.zeros_like(rhs[:, 0])
 
     d = lambda i, b: lhs[:, i, b]
     # generic recurrence; identity rows yield A=B=Z=0 so starting at row 0
     # is exactly the reference's start at the top active row
     U = 1.0 / d(0, 2)
-    A[0] = d(0, 1) * U
-    B[0] = d(0, 0) * U
-    Z[0] = rhs[:, 0] * U
+    A0 = d(0, 1) * U
+    B0 = d(0, 0) * U
+    Z0 = rhs[:, 0] * U
 
     Y = d(1, 3)
-    U = 1.0 / (d(1, 2) - A[0] * Y)
-    A[1] = (d(1, 1) - B[0] * Y) * U
-    B[1] = d(1, 0) * U
-    Z[1] = (rhs[:, 1] - Z[0] * Y) * U
+    U = 1.0 / (d(1, 2) - A0 * Y)
+    A1 = (d(1, 1) - B0 * Y) * U
+    B1 = d(1, 0) * U
+    Z1 = (rhs[:, 1] - Z0 * Y) * U
 
-    for i in range(2, N):
-        Y = d(i, 3) - A[i - 2] * d(i, 4)
-        U = 1.0 / (d(i, 2) - B[i - 2] * d(i, 4) - A[i - 1] * Y)
-        A[i] = (d(i, 1) - B[i - 1] * Y) * U
-        B[i] = d(i, 0) * U
-        Z[i] = (rhs[:, i] - Z[i - 2] * d(i, 4) - Z[i - 1] * Y) * U
+    def fwd(carry, x):
+        Am2, Bm2, Zm2, Am1, Bm1, Zm1 = carry
+        di, ri = x
+        Y = di[:, 3] - Am2 * di[:, 4]
+        U = 1.0 / (di[:, 2] - Bm2 * di[:, 4] - Am1 * Y)
+        Ai = (di[:, 1] - Bm1 * Y) * U
+        Bi = di[:, 0] * U
+        Zi = (ri - Zm2 * di[:, 4] - Zm1 * Y) * U
+        return (Am1, Bm1, Zm1, Ai, Bi, Zi), (Ai, Bi, Zi)
 
-    x = [None] * N
-    x[N - 1] = Z[N - 1]
-    x[N - 2] = Z[N - 2] - A[N - 2] * x[N - 1]
-    for i in range(N - 3, -1, -1):
-        x[i] = Z[i] - A[i] * x[i + 1] - B[i] * x[i + 2]
-    return jnp.stack(x, axis=1)
+    _, (At, Bt, Zt) = jax.lax.scan(
+        fwd, (A0, B0, Z0, A1, B1, Z1),
+        (jnp.moveaxis(lhs[:, 2:], 1, 0), jnp.moveaxis(rhs[:, 2:], 1, 0)))
+    A = jnp.concatenate([A0[None], A1[None], At], axis=0)  # [N, ncol]
+    B = jnp.concatenate([B0[None], B1[None], Bt], axis=0)
+    Z = jnp.concatenate([Z0[None], Z1[None], Zt], axis=0)
+
+    x_last = Z[N - 1]
+    x_prev = Z[N - 2] - A[N - 2] * x_last
+
+    def bwd(carry, row):
+        xp1, xp2 = carry
+        Zi, Ai, Bi = row
+        xi = Zi - Ai * xp1 - Bi * xp2
+        return (xi, xp1), xi
+
+    _, x_head = jax.lax.scan(bwd, (x_prev, x_last),
+                             (Z[:N - 2], A[:N - 2], B[:N - 2]),
+                             reverse=True)
+    x = jnp.concatenate([x_head, x_prev[None], x_last[None]], axis=0)
+    return jnp.moveaxis(x, 0, 1)
 
 
 class SolveOut(NamedTuple):

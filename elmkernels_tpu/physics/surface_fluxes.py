@@ -106,10 +106,17 @@ def update_surface_fluxes(land: c.LandType, do_capsnow, snl, dtime, t_grnd,
     qflx_ev_h2osfc = jnp.where(limited, qflx_ev_h2osfc * egirat,
                                qflx_ev_h2osfc)
 
-    # ground heat flux (reference's literal pow(x, 40) kept)
+    # ground heat flux (reference's literal pow(x, 40) kept).  The
+    # where-guard matters in f32: 274**40 ~ 3e97 overflows to inf there,
+    # and 0 * inf = NaN poisoned eflx_soil_grnd/errsoi/errseb whenever
+    # frac_h2osfc == 0 (i.e. always, in runs without surface water).
+    # With frac_h2osfc == 0 the guarded term is exactly 0 in f64 too, so
+    # bit-parity with the reference is preserved.
+    h2osfc_lw = jnp.where(frac_h2osfc != 0.0,
+                          frac_h2osfc * t_h2osfc_bef ** 40, 0.0)
     lw_grnd = (frac_sno_eff * tssbef_snotop ** 4.0
                + (1.0 - frac_sno_eff - frac_h2osfc) * tssbef_soitop ** 4.0
-               + frac_h2osfc * t_h2osfc_bef ** 40)
+               + h2osfc_lw)
     t_grnd0 = prev_tgrnd(snl, frac_sno_eff, frac_h2osfc, t_h2osfc_bef,
                          tssbef_snotop, tssbef_soitop)
     tinc = t_grnd - t_grnd0

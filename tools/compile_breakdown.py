@@ -53,11 +53,18 @@ def main():
 
     rows = []
 
+    count_only = os.environ.get("CB_MODE") == "count"
+
     def bench(name, fn, *args):
         try:
             t0 = time.time()
             lowered = jax.jit(fn).lower(*args)
             t_lower = time.time() - t0
+            if count_only:  # HLO size attribution, no compile (fast, CPU)
+                n = lowered.as_text().count("\n")
+                rows.append((name, t_lower, n))
+                print(f"{name:28s} {n:8d} stablehlo lines", flush=True)
+                return
             t0 = time.time()
             lowered.compile()
             t_comp = time.time() - t0
