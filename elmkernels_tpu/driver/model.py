@@ -47,6 +47,7 @@ class ScanDiagnostics(NamedTuple):
     the reference's MPI ``min_max_sum`` diagnostics
     (``utils.hh:45-103``) computed on device instead of by collective."""
     errh2o_max: jnp.ndarray
+    errh2o_led_max: jnp.ndarray
     errh2osno_max: jnp.ndarray
     errsol_max: jnp.ndarray
     errlon_max: jnp.ndarray
@@ -76,6 +77,7 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, snicar,
                                  psn_mode=psn_mode, qbot_is_rh=qbot_is_rh)
         out = ScanDiagnostics(
             errh2o_max=jnp.abs(d.errh2o).max(),
+            errh2o_led_max=jnp.abs(d.errh2o_led).max(),
             errh2osno_max=jnp.abs(d.errh2osno).max(),
             errsol_max=jnp.abs(d.errsol).max(),
             errlon_max=jnp.abs(d.errlon).max(),

@@ -36,6 +36,9 @@ class StepGuard:
     the last *validated* snapshot, possibly several steps back).
     """
     errh2o_max: float | None = 0.1
+    # closed ledger (step.advance docstring): exact to rounding, so any
+    # excursion is a real leak
+    errh2o_led_max: float | None = 1e-9
     errh2osno_max: float | None = 1e-6
     errsol_max: float | None = 1e-6
     errseb_max: float | None = None   # reference's lwrad quirk inflates it
@@ -64,6 +67,7 @@ class StepGuard:
         if not np.all(np.asarray(state.h2osno) >= 0.0):
             reasons.append("negative h2osno")
         for name, bound in (("errh2o", self.errh2o_max),
+                            ("errh2o_led", self.errh2o_led_max),
                             ("errh2osno", self.errh2osno_max),
                             ("errsol", self.errsol_max),
                             ("errseb", self.errseb_max)):

@@ -18,8 +18,8 @@ def model():
 
 
 def test_driver_hundred_steps_conservation(model):
-    errs = {"errh2o": [], "errh2osno": [], "errsol": [], "errlon": [],
-            "errseb": []}
+    errs = {"errh2o": [], "errh2o_led": [], "errh2osno": [], "errsol": [],
+            "errlon": [], "errseb": []}
 
     def cb(date, state, diags):
         for k in errs:
@@ -47,6 +47,10 @@ def test_driver_hundred_steps_conservation(model):
     # (tight: the snowc-filter fix removed the reference's layerless-pack
     # wipe-out, see step.py around combine_layers)
     assert np.max(np.abs(errs["errh2o"])) < 0.1
+    # the closed ledger (errh2o re-charged with the debits the step
+    # actually applied + explicit exchange-flux exports) is exact to
+    # rounding — measured 4.4e-13 over 500 winter steps
+    assert np.max(np.abs(errs["errh2o_led"])) < 1e-9
     # surface energy balance carries the reference's dropped-linearization
     # quirk (surface_fluxes_impl.hh:182: pow(emg*sigma*T0, 3) instead of
     # emg*sigma*T0**3), so errseb ~ 4*emg*sigma*T0^3*tinc; it must stay
