@@ -416,12 +416,18 @@ def hybrid_solve(x0_init, env: CiEnv, mode: str, enabled,
 
 
 def _use_pallas_solver(x) -> bool:
-    """Route the ci solve through the Pallas VMEM-resident kernel when it
-    applies: f32 data on a TPU backend (decided at trace time).  The f64
-    correctness/golden path always uses the pure-JAX solver; set
-    ELMTPU_NO_PALLAS=1 to force it for f32 too."""
+    """Route the ci solve through the Pallas VMEM-resident kernel — only
+    when explicitly requested (ELMTPU_PALLAS=1) on an f32 TPU trace.
+
+    Opt-in, not default: after the round-2 parity fix unified the solver
+    on one shared ``lax.while_loop``, Mosaic fails to legalize that loop
+    inside the Pallas kernel on TPU v5e ("failed to legalize operation
+    'scf.yield'" — the ~88-vector carry exceeds what the scf lowering
+    handles), so the kernel cannot currently compile on real hardware.
+    The pure-XLA path is the production path for both dtypes; the kernel
+    and its parity tests (interpret mode) are kept for future work."""
     import os
-    if os.environ.get("ELMTPU_NO_PALLAS"):
+    if not os.environ.get("ELMTPU_PALLAS"):
         return False
     return (x.dtype == jnp.float32
             and jax.default_backend() == "tpu")

@@ -93,6 +93,21 @@ def main():
           f"errsol_global={float(errsol):.3e}", flush=True)
     assert float(errsol) < 1e-8
     assert np.all(np.isfinite(t_local))
+
+    # throughput canary (VERDICT r1 item 8): steady-state distributed
+    # steps must stay cheap — a sharding/dispatch regression (e.g. an
+    # accidental all-gather of the column axis) shows up as a per-step
+    # blowup long before a pod is available to measure true scaling.
+    # Bound is ~20x the measured ~0.15 s/step on the 2-core dev host.
+    import time
+    t0 = time.time()
+    nrep = 5
+    for _ in range(nrep):
+        new_state, diags = step(model.snicar, params, new_state, forc, phen)
+    jax.block_until_ready(new_state)
+    per_step = (time.time() - t0) / nrep
+    print(f"proc {pid}: per-step {per_step*1e3:.1f} ms", flush=True)
+    assert per_step < 3.0, f"distributed per-step {per_step:.2f}s > 3s"
     print(f"proc {pid}: OK", flush=True)
 
 
