@@ -45,6 +45,7 @@ def main():
     ncol = int(os.environ.get("BENCH_NCOL", "8192"))
     nsteps = int(os.environ.get("BENCH_STEPS", "10"))
     use_scan = os.environ.get("BENCH_SCAN", "1") == "1"
+    mixed = os.environ.get("BENCH_MIXED", "0") == "1"
 
     import jax.numpy as jnp
     import numpy as np
@@ -72,14 +73,16 @@ def main():
             def body(st, fp):
                 f, p = fp
                 st, d = step_mod.advance(land, psnveg, albveg, snicar,
-                                         params, st, f, p, dtime)
+                                         params, st, f, p, dtime,
+                                         mixed_radiation=mixed)
                 return st, jnp.abs(d.errsol).max()
             return jax.lax.scan(body, state, (forc, phen))
         steps_per_call = nsteps
     else:
         def fn(snicar, params, state, forc, phen):
             st, d = step_mod.advance(land, psnveg, albveg, snicar, params,
-                                     state, forc, phen, dtime)
+                                     state, forc, phen, dtime,
+                                     mixed_radiation=mixed)
             return st, jnp.abs(d.errsol).max()
         steps_per_call = 1
 
@@ -101,7 +104,8 @@ def main():
     compile_s = time.time() - t0
     print(f"# compile+first call: {compile_s:.1f}s  ncol={ncol} "
           f"dtype={'f32' if f32 else 'f64'} "
-          f"mode={'scan' if use_scan else 'dispatch'}x{steps_per_call}",
+          f"mode={'scan' if use_scan else 'dispatch'}x{steps_per_call}"
+          f"{' mixed-radiation' if mixed else ''}",
           file=sys.stderr)
 
     def window(state, ncalls):

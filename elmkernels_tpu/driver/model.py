@@ -28,10 +28,10 @@ DEFAULT_PFT_PATH = "/root/reference/test/data/clm_params_c180524.nc"
 DEFAULT_SNICAR_PATH = "/root/reference/test/data/SnowOptics_IN.txt"
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
-                   donate_argnums=(9,))
-def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, snicar,
-                 params, psnveg, albveg, state, forc, phen):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5),
+                   donate_argnums=(10,))
+def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
+                 snicar, params, psnveg, albveg, state, forc, phen):
     """Shared jitted step; land/dtime/flags/psn_mode are static, PFT
     traits are traced data (scalars for a homogeneous domain, [ncol]
     arrays for per-column vegetation), so all Model instances with the
@@ -39,7 +39,8 @@ def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, snicar,
     return step_mod.advance(land, psnveg, albveg, snicar, params, state,
                             forc, phen, dtime,
                             elm_correct_snow_aging=aging_fix,
-                            psn_mode=psn_mode, qbot_is_rh=qbot_is_rh)
+                            psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
+                            mixed_radiation=mixed_rad)
 
 
 class ScanDiagnostics(NamedTuple):
@@ -60,10 +61,11 @@ class ScanDiagnostics(NamedTuple):
     niters_canopy_mean: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
-                   donate_argnums=(9,))
-def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, snicar,
-                 params, psnveg, albveg, state, forc_stack, phen_stack):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5),
+                   donate_argnums=(10,))
+def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
+                 snicar, params, psnveg, albveg, state, forc_stack,
+                 phen_stack):
     """K timesteps inside ONE executable via ``lax.scan`` — amortizes
     dispatch (the dominant cost at small batch on a remote-tunnel
     backend) and lets XLA overlap steps' epilogue/prologue.  The
@@ -74,7 +76,8 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, snicar,
         st, d = step_mod.advance(land, psnveg, albveg, snicar, params, st,
                                  forc, phen, dtime,
                                  elm_correct_snow_aging=aging_fix,
-                                 psn_mode=psn_mode, qbot_is_rh=qbot_is_rh)
+                                 psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
+                                 mixed_radiation=mixed_rad)
         out = ScanDiagnostics(
             errh2o_max=jnp.abs(d.errh2o).max(),
             errh2o_led_max=jnp.abs(d.errh2o_led).max(),
@@ -123,6 +126,9 @@ class Model:
     # ELM-proper snow grain aging (fixes the reference's double clamp;
     # see snow_hydrology.snow_aging). Default False = reference-exact.
     elm_correct_snow_aging: bool = False
+    # run the SNICAR + two-stream radiative solvers in f32 inside an f64
+    # step (see step.advance) — opt-in perf configuration
+    mixed_radiation: bool = False
 
     def __post_init__(self):
         vt = np.asarray(self.vtype, np.int32)
@@ -176,7 +182,8 @@ class Model:
         self._step = functools.partial(
             _jitted_step, self.land, self.dtime,
             self.elm_correct_snow_aging, self.psn_mode,
-            getattr(self.forcing, "qbot_is_rh", False))
+            getattr(self.forcing, "qbot_is_rh", False),
+            self.mixed_radiation)
 
     def _state_sharding(self):
         from jax.sharding import PartitionSpec as P
@@ -253,7 +260,7 @@ class Model:
         self.state, diags = _jitted_scan(
             self.land, self.dtime, self.elm_correct_snow_aging,
             self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
-            self.snicar, self.params, self.psnveg,
+            self.mixed_radiation, self.snicar, self.params, self.psnveg,
             self.albveg, self.state, forc_stack, phen_stack)
         return diags
 
@@ -327,8 +334,8 @@ class Model:
                     self.land, self.dtime, self.elm_correct_snow_aging,
                     self.psn_mode,
                     getattr(self.forcing, "qbot_is_rh", False),
-                    self.snicar, self.params, self.psnveg, self.albveg,
-                    self.state, forc, phen)
+                    self.mixed_radiation, self.snicar, self.params,
+                    self.psnveg, self.albveg, self.state, forc, phen)
                 diags_all.append(d)
                 if callback is not None:
                     callback(date, self.state, d)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
@@ -80,7 +81,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             phen: StepPhenology, dtime: float,
             elm_correct_snow_aging: bool = False,
             psn_mode: str | None = None,
-            qbot_is_rh: bool = False
+            qbot_is_rh: bool = False,
+            mixed_radiation: bool = False
             ) -> tuple[ModelState, StepDiagnostics]:
     """One dtime step.  Pure function of (state, forcing) — jit/pjit it.
 
@@ -161,9 +163,31 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                                s.cnc_dst4)
     soil_alb = sa.soil_albedo(land, s.snl, s.t_grnd, coszen, s.h2osoi_vol,
                               p.albsat, p.albdry)
-    drc, dfs = sn.snicar_ad_rt_both(
-        land, coszen, s.h2osno, s.snl, s.h2osoi_liq, s.h2osoi_ice,
-        s.snw_rds, soil_alb.albsoi, sa_init.mss_cnc_aer_in_fdb, snicar)
+
+    # mixed precision: the SNICAR adding-doubling sweep and the two-stream
+    # solver are the dominant emulated-f64 cost on TPU (profile r2:
+    # [10,8192,5]-shaped fusions + their VMEM traffic); they are
+    # diagnostic radiative-transfer math whose ~1e-7 relative f32 error
+    # only perturbs the absorbed-flux partition (errsol rises from 1e-13
+    # to ~1e-6 W/m2).  Opt-in; default stays reference-exact f64.
+    wdt = coszen.dtype
+
+    def _to(x, dt):
+        return jax.tree.map(
+            lambda a: a.astype(dt) if (hasattr(a, "dtype")
+                                       and a.dtype.kind == "f") else a, x)
+    if mixed_radiation and wdt == jnp.float64:
+        f32 = jnp.float32
+        drc, dfs = sn.snicar_ad_rt_both(
+            land, *_to((coszen, s.h2osno), f32), s.snl,
+            *_to((s.h2osoi_liq, s.h2osoi_ice, s.snw_rds,
+                  soil_alb.albsoi, sa_init.mss_cnc_aer_in_fdb, snicar),
+                 f32))
+        drc, dfs = _to((drc, dfs), wdt)
+    else:
+        drc, dfs = sn.snicar_ad_rt_both(
+            land, coszen, s.h2osno, s.snl, s.h2osoi_liq, s.h2osoi_ice,
+            s.snw_rds, soil_alb.albsoi, sa_init.mss_cnc_aer_in_fdb, snicar)
     grd = sa.ground_albedo(land, coszen, s.frac_sno, soil_alb.albsod,
                            soil_alb.albsoi, drc.albout, dfs.albout)
     fab = sa.flux_absorption_factor(land, coszen, s.frac_sno,
@@ -171,10 +195,19 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                                     drc.albout, dfs.albout, drc.flx_abs,
                                     dfs.flx_abs)
     can = sa.canopy_layer_lai(land, elai, esai, tlai, tsai)
-    ts = sa.two_stream_solver(land, can.nrad, coszen, s.t_veg, fwet, elai,
-                              esai, can.tlai_z, can.tsai_z, grd.albgrd,
-                              grd.albgri, albveg, sa_init.vcmaxcintsun,
-                              sa_init.vcmaxcintsha)
+    if mixed_radiation and wdt == jnp.float64:
+        ts = sa.two_stream_solver(
+            land, can.nrad, *_to((coszen, s.t_veg, fwet, elai, esai,
+                                  can.tlai_z, can.tsai_z, grd.albgrd,
+                                  grd.albgri, albveg, sa_init.vcmaxcintsun,
+                                  sa_init.vcmaxcintsha), jnp.float32))
+        ts = _to(ts, wdt)
+    else:
+        ts = sa.two_stream_solver(land, can.nrad, coszen, s.t_veg, fwet,
+                                  elai, esai, can.tlai_z, can.tsai_z,
+                                  grd.albgrd, grd.albgri, albveg,
+                                  sa_init.vcmaxcintsun,
+                                  sa_init.vcmaxcintsha)
 
     # =================== canopy_hydrology =================================
     inter = chy.interception(land, frac_veg_nosno, forc_rain, forc_snow,

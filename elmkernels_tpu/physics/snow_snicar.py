@@ -191,7 +191,8 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
         tables.asm_prm_dst2, tables.asm_prm_dst3, tables.asm_prm_dst4],
         axis=1)[band_id_b]
     ext_aer_scalar = jnp.stack([
-        jnp.zeros((nbnd,)), tables.ext_cff_mss_bc2[idx_bc_nclrds],
+        jnp.zeros((nbnd,), tables.ext_cff_mss_bc2.dtype),
+        tables.ext_cff_mss_bc2[idx_bc_nclrds],
         tables.ext_cff_mss_oc1, tables.ext_cff_mss_oc2,
         tables.ext_cff_mss_dst1, tables.ext_cff_mss_dst2,
         tables.ext_cff_mss_dst3, tables.ext_cff_mss_dst4],
