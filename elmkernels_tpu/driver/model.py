@@ -28,10 +28,11 @@ DEFAULT_PFT_PATH = "/root/reference/test/data/clm_params_c180524.nc"
 DEFAULT_SNICAR_PATH = "/root/reference/test/data/SnowOptics_IN.txt"
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5),
-                   donate_argnums=(10,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6),
+                   donate_argnums=(11,))
 def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 snicar, params, psnveg, albveg, state, forc, phen):
+                 seb_fix, snicar, params, psnveg, albveg, state, forc,
+                 phen):
     """Shared jitted step; land/dtime/flags/psn_mode are static, PFT
     traits are traced data (scalars for a homogeneous domain, [ncol]
     arrays for per-column vegetation), so all Model instances with the
@@ -40,7 +41,8 @@ def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                             forc, phen, dtime,
                             elm_correct_snow_aging=aging_fix,
                             psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
-                            mixed_radiation=mixed_rad)
+                            mixed_radiation=mixed_rad,
+                            elm_correct_seb=seb_fix)
 
 
 class ScanDiagnostics(NamedTuple):
@@ -61,10 +63,10 @@ class ScanDiagnostics(NamedTuple):
     niters_canopy_mean: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5),
-                   donate_argnums=(10,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6),
+                   donate_argnums=(11,))
 def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 snicar, params, psnveg, albveg, state, forc_stack,
+                 seb_fix, snicar, params, psnveg, albveg, state, forc_stack,
                  phen_stack):
     """K timesteps inside ONE executable via ``lax.scan`` — amortizes
     dispatch (the dominant cost at small batch on a remote-tunnel
@@ -77,7 +79,8 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                                  forc, phen, dtime,
                                  elm_correct_snow_aging=aging_fix,
                                  psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
-                                 mixed_radiation=mixed_rad)
+                                 mixed_radiation=mixed_rad,
+                                 elm_correct_seb=seb_fix)
         out = ScanDiagnostics(
             errh2o_max=jnp.abs(d.errh2o).max(),
             errh2o_led_max=jnp.abs(d.errh2o_led).max(),
@@ -129,6 +132,10 @@ class Model:
     # run the SNICAR + two-stream radiative solvers in f32 inside an f64
     # step (see step.advance) — opt-in perf configuration
     mixed_radiation: bool = False
+    # fix the reference's dropped-linearization in eflx_soil_grnd
+    # (surface_fluxes.update_surface_fluxes docstring); closes errseb.
+    # Default False = reference-exact.
+    elm_correct_seb: bool = False
 
     def __post_init__(self):
         vt = np.asarray(self.vtype, np.int32)
@@ -183,7 +190,7 @@ class Model:
             _jitted_step, self.land, self.dtime,
             self.elm_correct_snow_aging, self.psn_mode,
             getattr(self.forcing, "qbot_is_rh", False),
-            self.mixed_radiation)
+            self.mixed_radiation, self.elm_correct_seb)
 
     def _state_sharding(self):
         from jax.sharding import PartitionSpec as P
@@ -260,8 +267,9 @@ class Model:
         self.state, diags = _jitted_scan(
             self.land, self.dtime, self.elm_correct_snow_aging,
             self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
-            self.mixed_radiation, self.snicar, self.params, self.psnveg,
-            self.albveg, self.state, forc_stack, phen_stack)
+            self.mixed_radiation, self.elm_correct_seb, self.snicar,
+            self.params, self.psnveg, self.albveg, self.state, forc_stack,
+            phen_stack)
         return diags
 
     def host_windows(self, start: Date, nsteps: int):
@@ -334,8 +342,9 @@ class Model:
                     self.land, self.dtime, self.elm_correct_snow_aging,
                     self.psn_mode,
                     getattr(self.forcing, "qbot_is_rh", False),
-                    self.mixed_radiation, self.snicar, self.params,
-                    self.psnveg, self.albveg, self.state, forc, phen)
+                    self.mixed_radiation, self.elm_correct_seb,
+                    self.snicar, self.params, self.psnveg, self.albveg,
+                    self.state, forc, phen)
                 diags_all.append(d)
                 if callback is not None:
                     callback(date, self.state, d)

@@ -82,7 +82,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             elm_correct_snow_aging: bool = False,
             psn_mode: str | None = None,
             qbot_is_rh: bool = False,
-            mixed_radiation: bool = False
+            mixed_radiation: bool = False,
+            elm_correct_seb: bool = False
             ) -> tuple[ModelState, StepDiagnostics]:
     """One dtime step.  Pure function of (state, forcing) — jit/pjit it.
 
@@ -476,7 +477,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         forc_lwrad, tssbef_snotop, tssbef_soitop, ice_snotop, liq_soitop,
         cf_stab.eflx_sh_veg, cf_stab.qflx_evap_veg, sfi.qflx_evap_soi,
         sfi.eflx_sh_grnd, sfi.qflx_ev_snow, sfi.qflx_ev_soil,
-        sfi.qflx_ev_h2osfc, gf.qflx_snwcp_liq, gf.qflx_snwcp_ice)
+        sfi.qflx_ev_h2osfc, gf.qflx_snwcp_liq, gf.qflx_snwcp_ice,
+        elm_correct_seb=elm_correct_seb)
     lw = sf.lwrad_outgoing(
         land, snl, frac_veg_nosno, forc_lwrad, frac_sno_eff, tssbef_snotop,
         tssbef_soitop, frac_h2osfc, t_h2osfc_bef, t_grnd, cf_cf.ulrad,

@@ -82,12 +82,21 @@ def update_surface_fluxes(land: c.LandType, do_capsnow, snl, dtime, t_grnd,
                           h2osoi_ice_snotop, h2osoi_liq_snotop, eflx_sh_veg,
                           qflx_evap_veg, qflx_evap_soi, eflx_sh_grnd,
                           qflx_ev_snow, qflx_ev_soil, qflx_ev_h2osfc,
-                          qflx_snwcp_liq, qflx_snwcp_ice) -> UpdateFluxOut:
+                          qflx_snwcp_liq, qflx_snwcp_ice,
+                          elm_correct_seb: bool = False) -> UpdateFluxOut:
     """Evaporation-limited flux update, ground heat flux, totals, and
     evaporation/sublimation/dew partitioning.
 
     Reference: ``surface_fluxes_impl.hh:146-230``
     (``update_surface_fluxes``); ``evap_ratio`` at lines 31-46.
+
+    ``elm_correct_seb=True`` fixes the reference's dropped-linearization
+    quirk at impl:182 — ``pow(emg*STEBOL*t_grnd0, 3.0)`` cubes the whole
+    emitted-flux expression instead of just the temperature (ELM proper,
+    SoilFluxesMod.F90, uses ``4*emg*STEBOL*t_grnd0**3*tinc`` as
+    ``lwrad_outgoing`` here does), which leaves errseb ~ 4*emg*sigma*
+    T0^3*tinc (tens to hundreds of W/m2 on steps with a ground
+    temperature jump).  Default False = reference-exact.
     """
     egsmax = jnp.maximum(
         (h2osoi_ice_snotop + h2osoi_liq_snotop) / dtime, 0.0)
@@ -120,11 +129,15 @@ def update_surface_fluxes(land: c.LandType, do_capsnow, snl, dtime, t_grnd,
     t_grnd0 = prev_tgrnd(snl, frac_sno_eff, frac_h2osfc, t_h2osfc_bef,
                          tssbef_snotop, tssbef_soitop)
     tinc = t_grnd - t_grnd0
+    if elm_correct_seb:
+        dlw_lin = 4.0 * emg * c.STEBOL * t_grnd0 ** 3.0 * tinc
+    else:  # reference-literal: cubes the whole expression (impl:182)
+        dlw_lin = (emg * c.STEBOL * t_grnd0) ** 3.0 * (4.0 * tinc)
     eflx_soil_grnd = (
         (1.0 - frac_sno_eff) * sabg_soil + frac_sno_eff * sabg_snow + dlrad
         + (1.0 - frac_veg_nosno) * emg * forc_lwrad
         - emg * c.STEBOL * lw_grnd
-        - (emg * c.STEBOL * t_grnd0) ** 3.0 * (4.0 * tinc)
+        - dlw_lin
         - (eflx_sh_grnd + qflx_evap_soi * htvp))
 
     eflx_sh_tot = eflx_sh_veg + eflx_sh_grnd
