@@ -46,6 +46,12 @@ class RunConfig:
     # ELM-proper snow grain aging (fixes the reference's double-clamp
     # quirk, snow_hydrology_impl.hh:216-222); False = reference-exact
     elm_correct_snow_aging: bool = False
+    # ELM-proper SEB linearization (fixes the reference's dropped factor
+    # in eflx_soil_grnd, surface_fluxes_impl.hh:182); False = ref-exact
+    elm_correct_seb: bool = False
+    # f32 SNICAR + two-stream inside the f64 step (perf configuration;
+    # see driver/step.advance)
+    mixed_radiation: bool = False
     # pin the JAX backend (e.g. "cpu"); None = default device. The axon
     # site config overrides the JAX_PLATFORMS env var, so this must be
     # applied via jax.config after import.
@@ -74,7 +80,9 @@ class RunConfig:
                                   forcing_basename=self.forcing_basename,
                                   phenology_path=self.phenology_path,
                                   elm_correct_snow_aging=(
-                                      self.elm_correct_snow_aging))
+                                      self.elm_correct_snow_aging),
+                                  elm_correct_seb=self.elm_correct_seb,
+                                  mixed_radiation=self.mixed_radiation)
         return Model(**kw)
 
     def start_date(self):
