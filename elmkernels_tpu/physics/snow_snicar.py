@@ -151,22 +151,27 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
 
     rds_idx = jnp.clip(r - SNW_RDS_MIN_TBL, 0, IDX_MIE_SNW_MX - 1)
 
-    L_snw = ice_lcl + liq_lcl  # [ncol, nsno]
-
-    # ---- band-vectorized Mie mixing: all arrays [B, ncol, nsno] -----------
+    # ---- band-vectorized Mie mixing: all arrays [B, nsno, ncol] -----------
     # (the reference loops bands serially; vectorizing keeps the traced
     # graph 5x (10x merged) smaller and fuses better on the VPU)
+    # Layout: the column axis is kept MINOR-most throughout this kernel.
+    # TPU tiles the two minor dims as (8 sublanes, 128 lanes); with the
+    # 5-element layer axis minor a [B, ncol, nsno] elementwise op would
+    # occupy 5/128 lanes, so every VPU op in the sweep is laid out as
+    # [B, nsno, ncol] (full 128-lane occupancy, 5/8 sublanes).
+    L_snw = (ice_lcl + liq_lcl).T  # [nsno, ncol]
     # one fused row-gather over the 1471-bin radius axis for all three
     # Mie tables (3 scalar gathers -> 1 contiguous-row gather)
     mie = jnp.stack([snw_ss_b, snw_asm_b, snw_ext_b])   # [3, B, nbins]
     mie_rows = mie.reshape(3 * B, -1).T                 # [nbins, 3*B]
-    rows = jnp.take(mie_rows, rds_idx, axis=0)          # [ncol, nsno, 3*B]
-    rows = jnp.moveaxis(rows, -1, 0).reshape(3, B, *rds_idx.shape)
+    rows = jnp.take(mie_rows, rds_idx.T, axis=0)        # [nsno, ncol, 3*B]
+    rows = jnp.moveaxis(rows, -1, 0).reshape(3, B, nsno, ncol)
     ss_snw, asm_snw, ext_snw = rows[0], rows[1], rows[2]
 
     # aerosols ignored in bands 4,5 (impl:146-152)
     band_has_aer = (band_id_b < 3)[:, None, None, None]
-    mss_b = jnp.where(band_has_aer, mss_cnc_aer[None], 0.0)
+    mss_t = jnp.transpose(mss_cnc_aer, (2, 1, 0))       # [8, nsno, ncol]
+    mss_b = jnp.where(band_has_aer, mss_t[None], 0.0)   # [B, 8, nsno, ncol]
     # species optical properties, stacked [nbnd, nspecies] then expanded to
     # the B rows (+per-layer enh factor folded into within-ice BC
     # extinction)
@@ -174,12 +179,13 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     # contract with a one-hot over the 8 icerds bins (a scalar 3-D gather
     # serializes on TPU; this is a plain VPU select+reduce)
     bcenh_t = tables.bcenh[:, idx_bc_nclrds, :]       # [8, nbnd]
-    oh_ice = (idx_icerds[..., None]
+    oh_ice = (idx_icerds.T[None]
               == jnp.arange(bcenh_t.shape[0],
-                            dtype=idx_icerds.dtype))  # [ncol, nsno, 8]
-    enh = jnp.sum(jnp.where(oh_ice[..., None], bcenh_t[None, None], 0.0),
-                  axis=2)                             # [ncol, nsno, nbnd]
-    enh = jnp.moveaxis(enh, -1, 0)[band_id_b]         # [B, ncol, nsno]
+                            dtype=idx_icerds.dtype)[:, None, None]
+              )                                       # [8, nsno, ncol]
+    bcenh_b = bcenh_t[:, band_id_b]                   # [8, B]
+    enh = jnp.sum(jnp.where(oh_ice[:, None], bcenh_b[:, :, None, None],
+                            0.0), axis=0)             # [B, nsno, ncol]
     ss_aer = jnp.stack([
         jnp.broadcast_to(tables.ss_alb_bc1[idx_bc_nclrds], (nbnd,)),
         tables.ss_alb_bc2[idx_bc_nclrds], tables.ss_alb_oc1,
@@ -199,27 +205,28 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
         axis=1)[band_id_b]
 
     tau_snw = L_snw[None] * ext_snw
-    # per-species optical depths: [B, ncol, nsno, 8]
+    # per-species optical depths: [B, 8, nsno, ncol] (species axis kept
+    # away from the minor tile dims)
     ext_all = jnp.broadcast_to(
-        ext_aer_scalar[:, None, None, :],
-        (B,) + L_snw.shape + (c.SNO_NBR_AER,))
+        ext_aer_scalar[:, :, None, None],
+        (B, c.SNO_NBR_AER) + L_snw.shape)
     # within-ice BC (species 0) carries the per-layer enhancement factor
     ext_bc1 = (tables.ext_cff_mss_bc1[idx_bc_nclrds][band_id_b][:, None,
                                                                None]
-               * enh)  # [B, ncol, nsno]
-    ext_all = ext_all.at[..., 0].set(ext_bc1)
-    tau_aer = L_snw[None, :, :, None] * mss_b * ext_all
-    tau_sum = jnp.sum(tau_aer, axis=-1)
-    omega_sum = jnp.sum(tau_aer * ss_aer[:, None, None, :], axis=-1)
-    g_sum = jnp.sum(tau_aer * ss_aer[:, None, None, :]
-                    * asm_aer[:, None, None, :], axis=-1)
+               * enh)  # [B, nsno, ncol]
+    ext_all = ext_all.at[:, 0].set(ext_bc1)
+    tau_aer = L_snw[None, None] * mss_b * ext_all
+    tau_sum = jnp.sum(tau_aer, axis=1)
+    omega_sum = jnp.sum(tau_aer * ss_aer[:, :, None, None], axis=1)
+    g_sum = jnp.sum(tau_aer * ss_aer[:, :, None, None]
+                    * asm_aer[:, :, None, None], axis=1)
 
     tau = tau_sum + tau_snw
     omega = safe_div(omega_sum + ss_snw * tau_snw, tau, tau > 0.0)
     g = safe_div(g_sum + asm_snw * ss_snw * tau_snw, tau * omega,
                  (tau > 0.0) & (omega > 0.0))
 
-    # Delta transformation (impl:293-298); arrays [B, ncol, nsno]
+    # Delta transformation (impl:293-298); arrays [B, nsno, ncol]
     g_star = g / (1.0 + g)
     omega_star = ((1.0 - g ** 2) * omega) / (1.0 - omega * g ** 2)
     tau_star = (1.0 - omega * g ** 2) * tau
@@ -230,7 +237,7 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     # static unrolls (the batch axes give the parallelism)
     exp_min = jnp.exp(-_ARGMAX)
 
-    ts_b, ws_b, gs_b = tau_star, omega_star, g_star  # [B, ncol, nsno]
+    ts_b, ws_b, gs_b = tau_star, omega_star, g_star  # [B, nsno, ncol]
 
     # --- per-layer Delta-Eddington apparent optical properties ---
     lm = jnp.sqrt(jnp.maximum(
@@ -241,7 +248,7 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     ne = ((ue + 1.0) ** 2 / extins) - ((ue - 1.0) ** 2 * extins)
     rdif_de = (ue ** 2 - 1.0) * (1.0 / extins - extins) / ne
     tdif_de = 4.0 * ue / ne
-    mu0 = mu_not[None, :, None]
+    mu0 = mu_not[None, None, :]
     trnlay_c = jnp.maximum(exp_min, jnp.exp(-ts_b / mu0))
 
     denom0 = 1.0 - lm ** 2 * mu0 ** 2
@@ -293,8 +300,7 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     # and the interface quantities the later stages need.
     one = jnp.ones((B, ncol), dtype)
     zero = jnp.zeros((B, ncol), dtype)
-    act_b = is_lyr_active[None, :, :]  # [1, ncol, nsno]
-    act_l = jnp.broadcast_to(jnp.moveaxis(act_b, 2, 0),
+    act_l = jnp.broadcast_to(is_lyr_active.T[:, None, :],
                              (nsno, B, ncol))  # [nsno, B, ncol]
 
     def topdown(carry, x):
@@ -324,7 +330,7 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
               trndir_i, trntdr_i, trndif_i, rdndif_i)
         return (nxt[0], nxt[1], nxt[2], nxt[3]), ys
 
-    xs = tuple(jnp.moveaxis(a, 2, 0)
+    xs = tuple(jnp.moveaxis(a, 1, 0)
                for a in (rdir_c, tdir_c, trnlay_c, rdif_c, tdif_c))
     (trndir_n, trntdr_n, trndif_n, rdndif_n), ys = jax.lax.scan(
         topdown, (one, one, one, zero), (act_l,) + xs)
