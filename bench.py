@@ -20,8 +20,9 @@ Environment knobs:
   BENCH_F32    set to 1 to run single precision (default f64)
   BENCH_SCAN   1 (default): run steps inside one lax.scan executable
                (the production time loop); 0: per-step dispatch
-  BENCH_MIXED  1 (default): f64 prognostics + f32 radiative solvers
-               (production perf config, drift-tested); 0: pure f64
+  BENCH_MIXED  1 (default): f64 prognostics + f32 radiative solvers —
+               the Model/RunConfig production default (drift-tested);
+               0: the reference-exact pure-f64 opt-out
   BENCH_COMPILE_EFFORT  optional XLA exec_time_optimization_effort
 """
 
@@ -48,10 +49,11 @@ def main():
     ncol = int(os.environ.get("BENCH_NCOL", "8192"))
     nsteps = int(os.environ.get("BENCH_STEPS", "10"))
     use_scan = os.environ.get("BENCH_SCAN", "1") == "1"
-    # default = the production perf configuration: f64 prognostics with
-    # the SNICAR/two-stream radiative solvers in f32 (drift-tested,
-    # tests/test_mixed_radiation.py; errsol ~7e-7 W/m2 vs 1e-13 pure).
-    # BENCH_MIXED=0 benches the pure reference-exact f64 step.
+    # default = the production configuration AND the Model/RunConfig
+    # default: f64 prognostics with the SNICAR/two-stream radiative
+    # solvers in f32 (drift-tested, tests/test_mixed_radiation.py;
+    # errsol ~7e-7 W/m2 vs 1e-13 pure).  BENCH_MIXED=0 benches the
+    # reference-exact pure-f64 opt-out (Model(mixed_radiation=False)).
     mixed = os.environ.get("BENCH_MIXED", "1") == "1"
 
     import jax.numpy as jnp

@@ -36,6 +36,13 @@ class RunConfig:
     # input data (INPUT_DATA_DIR macro + file names in the interface ctor)
     pft_path: str = DEFAULT_PFT_PATH
     snicar_path: str = DEFAULT_SNICAR_PATH
+    # snicar_drdt_bst*.nc snow-aging tables; required when
+    # elm_correct_snow_aging is set
+    snow_aging_path: str | None = None
+    # surfdata NetCDF driving a heterogeneous per-column grid (lat/lon,
+    # soil color/texture, dominant PFT) via Model.from_surfdata; the
+    # scalar vtype/lat_deg/lon_deg fields then only serve as fallbacks
+    surfdata_path: str | None = None
     # month-per-file NetCDF forcing basename (reference read_input.hh
     # "basenameYYYY-MM.nc"); None -> synthetic analytic forcing
     forcing_basename: str | None = None
@@ -49,9 +56,10 @@ class RunConfig:
     # ELM-proper SEB linearization (fixes the reference's dropped factor
     # in eflx_soil_grnd, surface_fluxes_impl.hh:182); False = ref-exact
     elm_correct_seb: bool = False
-    # f32 SNICAR + two-stream inside the f64 step (perf configuration;
-    # see driver/step.advance)
-    mixed_radiation: bool = False
+    # f32 SNICAR + two-stream inside the f64 step: the production
+    # default (drift-tested, tests/test_mixed_radiation.py); False = the
+    # reference-exact pure-f64 radiative solvers (errsol 1e-13)
+    mixed_radiation: bool = True
     # pin the JAX backend (e.g. "cpu"); None = default device. The axon
     # site config overrides the JAX_PLATFORMS env var, so this must be
     # applied via jax.config after import.
@@ -59,7 +67,9 @@ class RunConfig:
     # conservation guard thresholds (None disables a check)
     errh2o_max: float | None = 0.1    # mm/step
     errh2osno_max: float | None = 1e-6
-    errsol_max: float | None = 1e-6
+    # default bounds the mixed-radiation contract (errsol ~1e-6 W/m2);
+    # a pure-f64 run (mixed_radiation=False) closes to 1e-13
+    errsol_max: float | None = 1e-5
     # outputs
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0         # steps; 0 = only explicit saves
@@ -72,18 +82,20 @@ class RunConfig:
 
     def make_model(self):
         from elmkernels_tpu.driver.model import Model
-        kw: dict[str, Any] = dict(ncol=self.ncol, dtime=self.dtime,
-                                  vtype=self.vtype, lat_deg=self.lat_deg,
-                                  lon_deg=self.lon_deg,
+        kw: dict[str, Any] = dict(dtime=self.dtime,
                                   pft_path=self.pft_path,
                                   snicar_path=self.snicar_path,
+                                  snow_aging_path=self.snow_aging_path,
                                   forcing_basename=self.forcing_basename,
                                   phenology_path=self.phenology_path,
                                   elm_correct_snow_aging=(
                                       self.elm_correct_snow_aging),
                                   elm_correct_seb=self.elm_correct_seb,
                                   mixed_radiation=self.mixed_radiation)
-        return Model(**kw)
+        if self.surfdata_path is not None:
+            return Model.from_surfdata(self.surfdata_path, self.ncol, **kw)
+        return Model(ncol=self.ncol, vtype=self.vtype,
+                     lat_deg=self.lat_deg, lon_deg=self.lon_deg, **kw)
 
     def start_date(self):
         from elmkernels_tpu.utils.dates import Date

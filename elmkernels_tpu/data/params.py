@@ -169,16 +169,54 @@ def default_snow_aging_tables():
             jnp.asarray(np.broadcast_to(drdt0, (11, 31, 8)).copy()))
 
 
+def _per_column_profile(val, ncol: int, nlev: int, name: str,
+                        dtype) -> jnp.ndarray:
+    """Broadcast a scalar / [ncol] / [ncol, nlev] input to [ncol, nlev]
+    (per-column soil heterogeneity enters here)."""
+    a = np.asarray(val, np.float64)
+    if a.ndim == 0:
+        return jnp.full((ncol, nlev), float(a), dtype)
+    if a.ndim == 1:
+        if a.shape != (ncol,):
+            raise ValueError(f"{name} shape {a.shape} != ({ncol},)")
+        return jnp.broadcast_to(jnp.asarray(a, dtype)[:, None],
+                                (ncol, nlev))
+    if a.shape != (ncol, nlev):
+        raise ValueError(f"{name} shape {a.shape} != ({ncol}, {nlev})")
+    return jnp.asarray(a, dtype)
+
+
+def _per_column(val, ncol: int, name: str, dtype) -> jnp.ndarray:
+    a = np.asarray(val, np.float64)
+    if a.ndim == 0:
+        return jnp.full((ncol,), float(a), dtype)
+    if a.shape != (ncol,):
+        raise ValueError(f"{name} shape {a.shape} != ({ncol},)")
+    return jnp.asarray(a, dtype)
+
+
 def default_params(ncol: int, pft_path: str, vtype=12,
-                   lat_deg: float = 71.323, lon_deg: float = 203.3886,
-                   soil_color: int = 15, pct_sand: float = 40.0,
-                   pct_clay: float = 20.0, organic: float = 10.0,
+                   lat_deg=71.323, lon_deg=203.3886,
+                   soil_color=15, pct_sand=40.0,
+                   pct_clay=20.0, organic=10.0,
+                   mxsoil_color: int = 20,
+                   organic_max: float | None = None,
+                   snowage_tables=None,
                    dtype=jnp.float64) -> ModelParams:
-    """Assemble ModelParams for a uniform domain, mirroring the reference
-    driver's hardwired site (``elm_kokkos_interface.cc:92-96``: Utqiagvik,
+    """Assemble ModelParams.  Defaults mirror the reference driver's
+    hardwired site (``elm_kokkos_interface.cc:92-96``: Utqiagvik,
     topo_slope raw 0.070, topo_std 3.961) with pedotransfer-derived soil
-    constants.  ``vtype`` may be an int (homogeneous) or an [ncol] array
-    of PFT indices (per-column vegetation heterogeneity)."""
+    constants; every site argument (``vtype``, ``lat_deg``/``lon_deg``,
+    ``soil_color``, ``pct_sand``/``pct_clay``/``organic``) also accepts
+    an [ncol] (texture: or [ncol, nlevsoi]) array for a surfdata-driven
+    heterogeneous grid (reference ``initialize_elm_kokkos.cc:267-340``,
+    ``soil_data_impl.hh:139-241``).
+
+    ``organic_max`` defaults to the value in the parameter NetCDF
+    (reference ``soil_data_impl.hh:230-241``); ``snowage_tables`` is an
+    optional (tau, kappa, drdt0) triple from ``read_snowrds_data`` —
+    None keeps the synthetic placeholder tables (inert under the
+    reference's double-clamp default)."""
     ones = jnp.ones((ncol,), dtype)
     vt = np.asarray(vtype, np.int32)
     heterog = vt.ndim > 0
@@ -193,10 +231,13 @@ def default_params(ncol: int, pft_path: str, vtype=12,
         2.8646071131796917, 4.73915671146575, 7.829766507142356,
         12.92532061670855, 21.32646906315379, 35.17762120511739]))
     zsoi2 = jnp.broadcast_to(zsoi_soil, (ncol, c.NLEVGRND))
-    sand = jnp.full((ncol, c.NLEVSOI), pct_sand, dtype)
-    clay = jnp.full((ncol, c.NLEVSOI), pct_clay, dtype)
-    org = jnp.full((ncol, c.NLEVSOI), organic, dtype)
-    hyd = stx.init_soil_hydraulics(130.0, sand, clay, org, zsoi2)
+    sand = _per_column_profile(pct_sand, ncol, c.NLEVSOI, "pct_sand", dtype)
+    clay = _per_column_profile(pct_clay, ncol, c.NLEVSOI, "pct_clay", dtype)
+    org = _per_column_profile(organic, ncol, c.NLEVSOI, "organic", dtype)
+    if organic_max is None:
+        from elmkernels_tpu.data.soil_data import read_organic_max
+        organic_max = read_organic_max(pft_path)
+    hyd = stx.init_soil_hydraulics(organic_max, sand, clay, org, zsoi2)
 
     # topography factors (reference hardwired raw values)
     land = c.LandType(ltype=1, ctype=1,
@@ -221,32 +262,41 @@ def default_params(ncol: int, pft_path: str, vtype=12,
         3.8018819123227208, 6.284461609304053, 10.377543561925453,
         17.12589483993117, 28.252045134135592, 42.10319727609919]))
     zi2 = jnp.broadcast_to(zisoi_soil, (ncol, c.NLEVGRND + 1))
-    rootfr = ini.init_vegrootfr(land, roota, rootb, zi2)
+    rootfr = ini.init_vegrootfr(vt if heterog else int(vt), roota, rootb,
+                                zi2)
     if heterog:
-        # init_vegrootfr's NOVEG early-out is trace-static; mask per column
-        rootfr = jnp.where((vt == c.NOVEG)[:, None],
-                           jnp.zeros_like(rootfr), rootfr)
         displar_v = jnp.asarray(table["displar"][vt]) * ones
         z0mr_v = jnp.asarray(table["z0mr"][vt]) * ones
     else:
         d_, z_ = load_pft_displar_z0mr(pft_path, int(vt))
         displar_v, z0mr_v = d_ * ones, z_ * ones
-    tau, kappa, drdt0 = default_snow_aging_tables()
+    if snowage_tables is None:
+        tau, kappa, drdt0 = default_snow_aging_tables()
+    else:
+        tau, kappa, drdt0 = (jnp.asarray(t) for t in snowage_tables)
     zsmall = 1.0e-12 * ones
 
+    # soil-color albedo: scalar or [ncol] color classes against the 8- or
+    # 20-class table (reference read_soil_colors, soil_data_impl.hh:139)
+    from elmkernels_tpu.data import soil_data
+    color = np.asarray(soil_color, np.int64)
+    color = np.broadcast_to(color, (ncol,))
+    idx = np.clip(color - 1, 0, mxsoil_color - 1)
+    albsat = jnp.asarray(soil_data.get_albsat(mxsoil_color)[idx], dtype)
+    albdry = jnp.asarray(soil_data.get_albdry(mxsoil_color)[idx], dtype)
+
     return ModelParams(
-        lat_r=jnp.full((ncol,), lat_deg * c.ELM_PI / 180.0, dtype),
-        lon_r=jnp.full((ncol,), lon_deg * c.ELM_PI / 180.0, dtype),
+        lat_r=_per_column(np.asarray(lat_deg, np.float64) * c.ELM_PI
+                          / 180.0, ncol, "lat_deg", dtype),
+        lon_r=_per_column(np.asarray(lon_deg, np.float64) * c.ELM_PI
+                          / 180.0, ncol, "lon_deg", dtype),
         vtype=jnp.asarray(np.broadcast_to(vt, (ncol,)).copy()),
         watsat=hyd.watsat, sucsat=hyd.sucsat, bsw=hyd.bsw,
         watdry=hyd.watdry, watopt=hyd.watopt, watfc=hyd.watfc,
         tkmg=hyd.tkmg, tkdry=hyd.tkdry, csol=hyd.csol, rootfr=rootfr,
         micro_sigma=micro_sigma, n_melt=n_melt,
         displar_v=displar_v, z0mr_v=z0mr_v,
-        albsat=jnp.broadcast_to(jnp.asarray(ALBSAT_20[soil_color - 1]),
-                                (ncol, 2)),
-        albdry=jnp.broadcast_to(jnp.asarray(ALBDRY_20[soil_color - 1]),
-                                (ncol, 2)),
+        albsat=albsat, albdry=albdry,
         snowage_tau=tau, snowage_kappa=kappa, snowage_drdt0=drdt0,
         aero_bcphi=zsmall, aero_bcpho=zsmall, aero_bcdep=zsmall,
         aero_dst1_1=zsmall, aero_dst1_2=zsmall, aero_dst2_1=zsmall,

@@ -111,9 +111,28 @@ class Model:
     dtime: float = 1800.0
     vtype: int | list | tuple = 12
     pft_path: str = DEFAULT_PFT_PATH
+    # SNICAR optics: a snicar_optics_5bnd*.nc NetCDF (dispatched by .nc
+    # extension to data.snicar_data.read_snicar_data, the reference's
+    # initialize_elm_kokkos.cc:23-47 pathway) or the SnowOptics text
+    # fixture (the only optics source shipped with the test data)
     snicar_path: str = DEFAULT_SNICAR_PATH
-    lat_deg: float = 71.323
-    lon_deg: float = 203.3886
+    # snicar_drdt_bst*.nc snow-aging tables (reference
+    # initialize_elm_kokkos.cc:49-60); None keeps synthetic placeholder
+    # tables, which are inert under the reference's double-clamp default
+    # but are REFUSED when elm_correct_snow_aging=True runs the live
+    # Flanner-Zender pipeline
+    snow_aging_path: str | None = None
+    # site arrays — each accepts a scalar (uniform domain, the reference
+    # driver's hardwired site) or an [ncol] array (texture: or
+    # [ncol, nlevsoi]) for a surfdata-driven heterogeneous grid; see
+    # Model.from_surfdata
+    lat_deg: float | np.ndarray = 71.323
+    lon_deg: float | np.ndarray = 203.3886
+    soil_color: int | np.ndarray = 15
+    mxsoil_color: int = 20
+    pct_sand: float | np.ndarray = 40.0
+    pct_clay: float | np.ndarray = 20.0
+    organic: float | np.ndarray = 10.0
     # month-per-file NetCDF forcing basename ("<basename>YYYY-MM.nc",
     # reference read_input.hh); None selects the synthetic forcing
     forcing_basename: str | None = None
@@ -129,9 +148,12 @@ class Model:
     # ELM-proper snow grain aging (fixes the reference's double clamp;
     # see snow_hydrology.snow_aging). Default False = reference-exact.
     elm_correct_snow_aging: bool = False
-    # run the SNICAR + two-stream radiative solvers in f32 inside an f64
-    # step (see step.advance) — opt-in perf configuration
-    mixed_radiation: bool = False
+    # Production default: run the SNICAR + two-stream radiative solvers
+    # in f32 inside the f64 step (see step.advance).  Contract: water
+    # ledger stays exact, errsol ~1e-6 W/m2 instead of 1e-13, state
+    # drift vs pure f64 < 0.05 K over 2 days (tests/test_mixed_radiation).
+    # Set False for the reference-exact pure-f64 radiative solvers.
+    mixed_radiation: bool = True
     # fix the reference's dropped-linearization in eflx_soil_grnd
     # (surface_fluxes.update_surface_fluxes docstring); closes errseb.
     # Default False = reference-exact.
@@ -153,10 +175,29 @@ class Model:
             self.albveg = params_mod.gather_pft_alb(table, vt)
         from elmkernels_tpu.physics.photosynthesis import psn_mode_of
         self.psn_mode = psn_mode_of(self.psnveg)
-        self.snicar = params_mod.load_snicar_from_text(self.snicar_path)
+        if str(self.snicar_path).endswith(".nc"):
+            from elmkernels_tpu.data.snicar_data import read_snicar_data
+            self.snicar = read_snicar_data(self.snicar_path)
+        else:
+            self.snicar = params_mod.load_snicar_from_text(self.snicar_path)
+        snowage_tables = None
+        if self.snow_aging_path is not None:
+            from elmkernels_tpu.data.snicar_data import read_snowrds_data
+            snowage_tables = read_snowrds_data(self.snow_aging_path)
+        elif self.elm_correct_snow_aging:
+            raise ValueError(
+                "elm_correct_snow_aging=True runs the live Flanner-Zender "
+                "aging pipeline, which needs real snicar_drdt_bst*.nc "
+                "tables: pass snow_aging_path=... (the synthetic "
+                "placeholder tables are only valid under the "
+                "reference-exact default, where the double clamp makes "
+                "them inert)")
         self.params = params_mod.default_params(
             self.ncol, self.pft_path, self.vtype, self.lat_deg,
-            self.lon_deg)
+            self.lon_deg, soil_color=self.soil_color,
+            pct_sand=self.pct_sand, pct_clay=self.pct_clay,
+            organic=self.organic, mxsoil_color=self.mxsoil_color,
+            snowage_tables=snowage_tables)
         self.state = cold_start(self.ncol)
         if self.forcing_basename is not None:
             self.forcing = forcing_mod.NetCDFForcing(
@@ -191,6 +232,29 @@ class Model:
             self.elm_correct_snow_aging, self.psn_mode,
             getattr(self.forcing, "qbot_is_rh", False),
             self.mixed_radiation, self.elm_correct_seb)
+
+    @classmethod
+    def from_surfdata(cls, surfdata_path: str, ncol: int, col0: int = 0,
+                      **kw) -> "Model":
+        """Construct a heterogeneous-grid Model from one surfdata-style
+        NetCDF: per-column lat/lon, soil color, soil texture profiles,
+        and (when PCT_NAT_PFT or PFT is present) per-column dominant PFT
+        — the realistic-global-run construction path (reference:
+        ``initialize_elm_kokkos.cc:267-340`` + ``utils.cc:46-69``).
+
+        ``col0``/``ncol`` select this host's shard of the flattened cell
+        axis.  Any Model field (``forcing_basename``, ``sharding``, ...)
+        passes through ``**kw``; an explicit ``vtype`` in ``kw``
+        overrides the file's PFT map."""
+        from elmkernels_tpu.data.surfdata import read_surfdata
+        sd = read_surfdata(surfdata_path, ncol, col0)
+        if "vtype" not in kw:
+            kw["vtype"] = (sd.vtype.tolist() if sd.vtype is not None
+                           else cls.vtype)
+        return cls(ncol=ncol, col0=col0, lat_deg=sd.lat_deg,
+                   lon_deg=sd.lon_deg, soil_color=sd.soil_color,
+                   mxsoil_color=sd.mxsoil_color, pct_sand=sd.pct_sand,
+                   pct_clay=sd.pct_clay, organic=sd.organic, **kw)
 
     def _state_sharding(self):
         from jax.sharding import PartitionSpec as P

@@ -159,16 +159,17 @@ def init_soilh2o_state(land: c.LandType, snl, watsat, t_soisno, dz):
     return h2osoi_vol, h2osoi_liq, h2osoi_ice
 
 
-def init_vegrootfr(land: c.LandType, roota_par, rootb_par, zi_soil):
+def init_vegrootfr(vtype, roota_par, rootb_par, zi_soil):
     """Zeng (2001) root fraction profile [ncol, NLEVGRND].
 
     Reference: ``init_soil_state_impl.hh`` (``init_vegrootfr``);
     ``zi_soil`` holds soil interfaces (zi at combined index i+NLEVSNO).
+    ``vtype`` is an int or [ncol] PFT array; NOVEG columns get an
+    all-zero profile per column (no trace-static early-out — a scalar
+    branch would broadcast one column's PFT over a heterogeneous batch).
     """
     ncol = zi_soil.shape[0]
     out = jnp.zeros((ncol, c.NLEVGRND), zi_soil.dtype)
-    if land.vtype == c.NOVEG:
-        return out
     for i in range(c.NLEVSOI - 1):
         val = 0.5 * (jnp.exp(-roota_par * zi_soil[:, i])
                      + jnp.exp(-rootb_par * zi_soil[:, i])
@@ -177,7 +178,10 @@ def init_vegrootfr(land: c.LandType, roota_par, rootb_par, zi_soil):
         out = out.at[:, i].set(val)
     last = 0.5 * (jnp.exp(-roota_par * zi_soil[:, c.NLEVSOI - 1])
                   + jnp.exp(-rootb_par * zi_soil[:, c.NLEVSOI - 1]))
-    return out.at[:, c.NLEVSOI - 1].set(last)
+    out = out.at[:, c.NLEVSOI - 1].set(last)
+    noveg = jnp.asarray(vtype) == c.NOVEG
+    noveg = noveg[:, None] if noveg.ndim else noveg
+    return jnp.where(noveg, jnp.zeros_like(out), out)
 
 
 def init_topo_slope(raw_topo_slope):

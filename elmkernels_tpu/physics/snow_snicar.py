@@ -260,7 +260,7 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     tdir_c = apg0 * tdif_de + (amg0 * rdif_de - apg0 + 1.0) * trnlay_c
 
     # Gaussian angular re-integration of rdif/tdif (impl:456-484).
-    # Rather than materializing [B, ncol, nsno, 8] quadrature tensors
+    # Rather than materializing [B, nsno, ncol, 8] quadrature tensors
     # (~26 MB each in emulated f64 — the former per-step hotspot), the
     # 8-point sum is unrolled as a straight-line accumulation over
     # scalar angles: with rdr = apg*rdif_de + amg*tdif_de*trn - amg and
@@ -268,7 +268,7 @@ def _snicar_core(band_id_b, is_drc_b, snw_ss_b, snw_asm_b, snw_ext_b,
     # μw-weighted sums distribute onto five accumulators
     #   S_apg = Σ μw·apg    S_amg = Σ μw·amg
     #   T_apg = Σ μw·apg·trn  T_amg = Σ μw·amg·trn  T_0 = Σ μw·trn
-    # so every temporary stays [B, ncol, nsno] and XLA fuses the whole
+    # so every temporary stays [B, nsno, ncol] and XLA fuses the whole
     # quadrature into one kernel (same arithmetic per angle; only the
     # final summation is re-associated, O(1e-16) relative).
     alp_f = 0.75 * ws_b * (1.0 + gs_b * (1.0 - ws_b))   # alp = alp_f·μ/D

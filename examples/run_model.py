@@ -37,12 +37,11 @@ def main(argv=None):
         model = cfg.make_model()
     date = cfg.start_date()
 
-    # mixed radiation (or a full-f32 run) leaves f32-roundoff in the
-    # shortwave closure (~1e-6..1e-5 W/m2); widen the default errsol
-    # guard so the out-of-box config doesn't roll back healthy steps
+    # the default errsol guard (1e-5) already covers the mixed-radiation
+    # default; a full-f32 run carries f32 roundoff through every closure,
+    # so widen further for it
     errsol_max = cfg.errsol_max
-    if ((cfg.mixed_radiation or not cfg.f64)
-            and errsol_max is not None and errsol_max < 1e-4):
+    if not cfg.f64 and errsol_max is not None and errsol_max < 1e-4:
         errsol_max = 1e-4
     guard = StepGuard(errh2o_max=cfg.errh2o_max,
                       errh2osno_max=cfg.errh2osno_max,

@@ -37,8 +37,11 @@ def test_driver_hundred_steps_conservation(model):
     assert np.all(np.asarray(state.snl) >= 0)
     assert np.all(np.isfinite(np.asarray(state.t_grnd)))
 
-    # conservation: shortwave/longwave/snow closures are exact
-    assert np.max(np.abs(errs["errsol"])) < 1e-8
+    # conservation contract of the PRODUCTION DEFAULT (mixed radiation:
+    # f32 SNICAR/two-stream inside the f64 step): the shortwave closure
+    # carries f32 roundoff (~1e-6 W/m2; pure-f64 closes to 1e-13, see
+    # test_mixed_radiation.py), longwave/snow closures stay exact
+    assert np.max(np.abs(errs["errsol"])) < 1e-5
     assert np.max(np.abs(errs["errlon"])) < 1e-8
     assert np.max(np.abs(errs["errh2osno"])) < 1e-7
     # column water balance is open to the (external) hydrology model —

@@ -91,7 +91,7 @@ def _chain(a):
     out.update(watsat=hyd.watsat, bsw=hyd.bsw, sucsat=hyd.sucsat,
                watdry=hyd.watdry, watopt=hyd.watopt, watfc=hyd.watfc,
                tkmg=hyd.tkmg, tkdry=hyd.tkdry, csol=hyd.csol)
-    out["rootfr"] = ini.init_vegrootfr(LAND, a["roota"], a["rootb"],
+    out["rootfr"] = ini.init_vegrootfr(LAND.vtype, a["roota"], a["rootb"],
                                        a["zi_full"][:, c.NLEVSNO:])
 
     # atm physics

