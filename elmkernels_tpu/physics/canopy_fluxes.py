@@ -200,7 +200,7 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
                         forc_pco2, forc_po2, dayl_factor, btran, el, qsatl,
                         qsatldT, taf, qaf, um, obu, delq,
                         t_veg, psn_mode: str | None = None,
-                        soybean=None) -> StabilityOut:
+                        *, soybean) -> StabilityOut:
     """Leaf-temperature Newton iteration (≤40 iterations + convergence on
     both Δt_veg < 0.01 K and Δefe < 0.1 W/m²), with per-iteration sun and
     shade photosynthesis solves.
@@ -208,8 +208,10 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
     Reference: ``canopy_fluxes_impl.hh:185-452`` (``stability_iteration``).
     ``psn_mode``/``soybean`` support per-column vegetation: ``psn_mode`` is
     the static photosynthesis pathway (None derives it from concrete
-    traits), ``soybean`` a per-column btran-boost mask (None derives it
-    from the domain-wide ``land.vtype``).
+    traits), ``soybean`` the per-column btran-boost mask.  The mask is
+    MANDATORY and derived in one place (``driver/step.py`` from
+    ``params.vtype``) — a scalar ``land.vtype`` fallback would silently
+    broadcast column 0's PFT branch over a heterogeneous batch.
     """
     btran0 = 0.0
     beta = 1.0
@@ -223,8 +225,6 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
     veg = frac_veg_nosno != 0
     t_top_sno = take_layer(t_soisno, c.NLEVSNO - snl)
     t_top_soil = t_soisno[:, c.NLEVSNO]
-    if soybean is None:
-        soybean = land.vtype in (c.NSOYBEAN, c.NSOYBEANIRRIG)
     # stack sun+shade: per-column traits and masks are tiled to [2*ncol]
     p2 = psn.tile_traits(p, 2)
 

@@ -124,8 +124,8 @@ def tile_traits(p: PFTPsnParams, reps: int) -> PFTPsnParams:
 class CiEnv(NamedTuple):
     """Per-column environment for the ci residual function.  The trailing
     four fields carry the PFT traits the residual consumes, broadcast per
-    column, so the solver (and its Pallas kernel) is closed over data —
-    no static trait capture, heterogeneous batches included."""
+    column, so the solver is closed over data — no static trait capture,
+    heterogeneous batches included."""
     gb_mol: jnp.ndarray
     je: jnp.ndarray
     cair: jnp.ndarray
@@ -236,20 +236,16 @@ class _SecantState(NamedTuple):
 
 
 def hybrid_solve(x0_init, env: CiEnv, mode: str, enabled,
-                 out_init: PsnOut, inkernel: bool = False):
+                 out_init: PsnOut):
     """Masked-batch port of ``hybrid`` (lines 516-620) + ``brent``
     (lines 395-511).  Returns (ci, PsnOut).
 
-    ``inkernel`` is accepted for API compatibility with the Pallas wrapper
-    (``ops/ci_solver.py``) but both modes now run the identical
-    ``lax.while_loop``: a round-1 experiment that replaced the default
-    path with a bounded unrolled ``fori_loop`` (commit 4c9d210) produced
-    differently-fused arithmetic whose rounding diverged from this path by
-    ~1e-4 after 40 secant iterations, breaking the exact-parity contract
-    with the Pallas kernel — and regressed the f64 step ~21%.  One loop,
-    one compilation, bit-exact everywhere.
+    One ``lax.while_loop`` for all callers and dtypes: a round-1
+    experiment that replaced this with a bounded unrolled ``fori_loop``
+    (commit 4c9d210) produced differently-fused arithmetic whose rounding
+    diverged by ~1e-4 after 40 secant iterations, and regressed the f64
+    step ~21%.  One loop, one compilation, bit-exact everywhere.
     """
-    del inkernel
     eps, eps1, itmax = 1.0e-2, 1.0e-4, 40
     EPS_B, ITMAX_B = 1.0e-2, 20
 
@@ -415,24 +411,6 @@ def hybrid_solve(x0_init, env: CiEnv, mode: str, enabled,
     return xfin, bf.out
 
 
-def _use_pallas_solver(x) -> bool:
-    """Route the ci solve through the Pallas VMEM-resident kernel — only
-    when explicitly requested (ELMTPU_PALLAS=1) on an f32 TPU trace.
-
-    Opt-in, not default: after the round-2 parity fix unified the solver
-    on one shared ``lax.while_loop``, Mosaic fails to legalize that loop
-    inside the Pallas kernel on TPU v5e ("failed to legalize operation
-    'scf.yield'" — the ~88-vector carry exceeds what the scf lowering
-    handles), so the kernel cannot currently compile on real hardware.
-    The pure-XLA path is the production path for both dtypes; the kernel
-    and its parity tests (interpret mode) are kept for future work."""
-    import os
-    if not os.environ.get("ELMTPU_PALLAS"):
-        return False
-    return (x.dtype == jnp.float32
-            and jax.default_backend() == "tpu")
-
-
 class PhotosynthesisOut(NamedTuple):
     rs: jnp.ndarray    # canopy stomatal resistance (s/m)
     ci_z: jnp.ndarray  # [ncol, nlevcan]
@@ -570,11 +548,7 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
                 c3frac=cc(p.c3psn))
     zero = jnp.zeros_like(cair)
     out0 = PsnOut(zero, zero, zero, zero, zero, zero)
-    if _use_pallas_solver(ci0):
-        from elmkernels_tpu.ops.ci_solver import ci_hybrid_solve
-        ci, out = ci_hybrid_solve(ci0, env, mode, enabled & day)
-    else:
-        ci, out = hybrid_solve(ci0, env, mode, enabled & day, out0)
+    ci, out = hybrid_solve(ci0, env, mode, enabled & day, out0)
 
     gs_mol = jnp.where(out.an < 0.0, bbb, out.gs_mol)
     ci_day = (cair - out.an * forc_pbot

@@ -55,7 +55,8 @@ def make_step(p):
             a["parsha_z"], a["parsun_z"], a["laisha_z"], a["laisun_z"],
             a["forc_pco2"], a["forc_po2"], init.dayl_factor, init.btran,
             init.el, init.qsatl, init.qsatldT, init.taf, init.qaf, init.um,
-            init.obu, init.delq, init.t_veg)
+            init.obu, init.delq, init.t_veg,
+            soybean=LAND.vtype in (c.NSOYBEAN, c.NSOYBEANIRRIG))
         cf = cfx.compute_flux(
             LAND, DTIME, a["snl"], a["frac_veg_nosno"], a["frac_sno"],
             a["t_soisno"], a["frac_h2osfc"], a["t_h2osfc"], a["sabv"],
