@@ -23,6 +23,9 @@ Environment knobs:
   BENCH_MIXED  1 (default): f64 prognostics + f32 radiative solvers —
                the Model/RunConfig production default (drift-tested);
                0: the reference-exact pure-f64 opt-out
+  BENCH_WARM   1: warm-start the canopy/ci solvers from the previous
+               step's converged obu/ci (opt-in perf mode; default 0 =
+               reference-exact cold-start iteration counts)
   BENCH_COMPILE_EFFORT  optional XLA exec_time_optimization_effort
 """
 
@@ -55,6 +58,7 @@ def main():
     # errsol ~7e-7 W/m2 vs 1e-13 pure).  BENCH_MIXED=0 benches the
     # reference-exact pure-f64 opt-out (Model(mixed_radiation=False)).
     mixed = os.environ.get("BENCH_MIXED", "1") == "1"
+    warm = os.environ.get("BENCH_WARM", "0") == "1"
 
     import jax.numpy as jnp
     import numpy as np
@@ -83,7 +87,8 @@ def main():
                 f, p = fp
                 st, d = step_mod.advance(land, psnveg, albveg, snicar,
                                          params, st, f, p, dtime,
-                                         mixed_radiation=mixed)
+                                         mixed_radiation=mixed,
+                                         warm_start=warm)
                 return st, jnp.abs(d.errsol).max()
             return jax.lax.scan(body, state, (forc, phen))
         steps_per_call = nsteps
@@ -91,7 +96,8 @@ def main():
         def fn(snicar, params, state, forc, phen):
             st, d = step_mod.advance(land, psnveg, albveg, snicar, params,
                                      state, forc, phen, dtime,
-                                     mixed_radiation=mixed)
+                                     mixed_radiation=mixed,
+                                     warm_start=warm)
             return st, jnp.abs(d.errsol).max()
         steps_per_call = 1
 
@@ -121,7 +127,8 @@ def main():
     print(f"# compile+first call: {compile_s:.1f}s  ncol={ncol} "
           f"dtype={'f32' if f32 else 'f64'} "
           f"mode={'scan' if use_scan else 'dispatch'}x{steps_per_call}"
-          f"{' mixed-radiation' if mixed else ''}",
+          f"{' mixed-radiation' if mixed else ''}"
+          f"{' warm-start' if warm else ''}",
           file=sys.stderr)
 
     def window(state, ncalls):

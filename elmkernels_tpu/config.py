@@ -60,6 +60,10 @@ class RunConfig:
     # default (drift-tested, tests/test_mixed_radiation.py); False = the
     # reference-exact pure-f64 radiative solvers (errsol 1e-13)
     mixed_radiation: bool = True
+    # warm-start the canopy stability / ci solvers from the previous
+    # step's converged obu/ci (opt-in: changes iteration counts, so the
+    # reference-exact default is off)
+    warm_start: bool = False
     # pin the JAX backend (e.g. "cpu"); None = default device. The axon
     # site config overrides the JAX_PLATFORMS env var, so this must be
     # applied via jax.config after import.
@@ -91,7 +95,8 @@ class RunConfig:
                                   elm_correct_snow_aging=(
                                       self.elm_correct_snow_aging),
                                   elm_correct_seb=self.elm_correct_seb,
-                                  mixed_radiation=self.mixed_radiation)
+                                  mixed_radiation=self.mixed_radiation,
+                                  warm_start=self.warm_start)
         if self.surfdata_path is not None:
             return Model.from_surfdata(self.surfdata_path, self.ncol, **kw)
         return Model(ncol=self.ncol, vtype=self.vtype,

@@ -79,6 +79,11 @@ class ModelState(NamedTuple):
     qflx_evap_grnd: jnp.ndarray
     qflx_dew_snow: jnp.ndarray
     qflx_dew_grnd: jnp.ndarray
+    # solver warm-start carries (zeros = cold; only read when the opt-in
+    # warm_start perf mode is on — see canopy_fluxes.stability_iteration)
+    ci_sun: jnp.ndarray         # previous-step sunlit ci roots (Pa)
+    ci_sha: jnp.ndarray         # previous-step shaded ci roots (Pa)
+    obu_can: jnp.ndarray        # previous-step canopy Monin-Obukhov length
 
     @property
     def mss(self) -> dict:
@@ -257,4 +262,5 @@ def cold_start(ncol: int, dtype=jnp.float64) -> ModelState:
         mss_dst3=z5(), mss_dst4=z5(), cnc_bcphi=z5(), cnc_bcpho=z5(),
         cnc_dst1=z5(), cnc_dst2=z5(), cnc_dst3=z5(), cnc_dst4=z5(),
         qflx_snow_melt=z1(), qflx_sub_snow=z1(), qflx_evap_grnd=z1(),
-        qflx_dew_snow=z1(), qflx_dew_grnd=z1())
+        qflx_dew_snow=z1(), qflx_dew_grnd=z1(),
+        ci_sun=z1(), ci_sha=z1(), obu_can=z1())

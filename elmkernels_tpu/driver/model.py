@@ -28,10 +28,10 @@ DEFAULT_PFT_PATH = "/root/reference/test/data/clm_params_c180524.nc"
 DEFAULT_SNICAR_PATH = "/root/reference/test/data/SnowOptics_IN.txt"
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6),
-                   donate_argnums=(11,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
+                   donate_argnums=(12,))
 def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 seb_fix, snicar, params, psnveg, albveg, state, forc,
+                 seb_fix, warm, snicar, params, psnveg, albveg, state, forc,
                  phen):
     """Shared jitted step; land/dtime/flags/psn_mode are static, PFT
     traits are traced data (scalars for a homogeneous domain, [ncol]
@@ -42,7 +42,7 @@ def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                             elm_correct_snow_aging=aging_fix,
                             psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
                             mixed_radiation=mixed_rad,
-                            elm_correct_seb=seb_fix)
+                            elm_correct_seb=seb_fix, warm_start=warm)
 
 
 class ScanDiagnostics(NamedTuple):
@@ -61,13 +61,14 @@ class ScanDiagnostics(NamedTuple):
     t_ref2m_mean: jnp.ndarray
     niters_canopy_max: jnp.ndarray
     niters_canopy_mean: jnp.ndarray
+    niters_ci_mean: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6),
-                   donate_argnums=(11,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
+                   donate_argnums=(12,))
 def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 seb_fix, snicar, params, psnveg, albveg, state, forc_stack,
-                 phen_stack):
+                 seb_fix, warm, snicar, params, psnveg, albveg, state,
+                 forc_stack, phen_stack):
     """K timesteps inside ONE executable via ``lax.scan`` — amortizes
     dispatch (the dominant cost at small batch on a remote-tunnel
     backend) and lets XLA overlap steps' epilogue/prologue.  The
@@ -80,7 +81,7 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                                  elm_correct_snow_aging=aging_fix,
                                  psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
                                  mixed_radiation=mixed_rad,
-                                 elm_correct_seb=seb_fix)
+                                 elm_correct_seb=seb_fix, warm_start=warm)
         out = ScanDiagnostics(
             errh2o_max=jnp.abs(d.errh2o).max(),
             errh2o_led_max=jnp.abs(d.errh2o_led).max(),
@@ -93,7 +94,8 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
             fsa_mean=d.fsa.mean(),
             t_ref2m_mean=d.t_ref2m.mean(),
             niters_canopy_max=d.niters_canopy.max(),
-            niters_canopy_mean=d.niters_canopy.mean())
+            niters_canopy_mean=d.niters_canopy.mean(),
+            niters_ci_mean=d.niters_ci.mean())
         return st, out
     return jax.lax.scan(body, state, (forc_stack, phen_stack))
 
@@ -158,6 +160,11 @@ class Model:
     # (surface_fluxes.update_surface_fluxes docstring); closes errseb.
     # Default False = reference-exact.
     elm_correct_seb: bool = False
+    # warm-start the canopy stability / ci solvers from the previous
+    # step's converged obu/ci (opt-in perf mode: converged physics
+    # unchanged, iteration counts — and hence last-ulp rounding — differ
+    # from the reference-exact cold-start default)
+    warm_start: bool = False
 
     def __post_init__(self):
         vt = np.asarray(self.vtype, np.int32)
@@ -231,7 +238,7 @@ class Model:
             _jitted_step, self.land, self.dtime,
             self.elm_correct_snow_aging, self.psn_mode,
             getattr(self.forcing, "qbot_is_rh", False),
-            self.mixed_radiation, self.elm_correct_seb)
+            self.mixed_radiation, self.elm_correct_seb, self.warm_start)
 
     @classmethod
     def from_surfdata(cls, surfdata_path: str, ncol: int, col0: int = 0,
@@ -331,9 +338,9 @@ class Model:
         self.state, diags = _jitted_scan(
             self.land, self.dtime, self.elm_correct_snow_aging,
             self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
-            self.mixed_radiation, self.elm_correct_seb, self.snicar,
-            self.params, self.psnveg, self.albveg, self.state, forc_stack,
-            phen_stack)
+            self.mixed_radiation, self.elm_correct_seb, self.warm_start,
+            self.snicar, self.params, self.psnveg, self.albveg, self.state,
+            forc_stack, phen_stack)
         return diags
 
     def host_windows(self, start: Date, nsteps: int):
@@ -407,8 +414,8 @@ class Model:
                     self.psn_mode,
                     getattr(self.forcing, "qbot_is_rh", False),
                     self.mixed_radiation, self.elm_correct_seb,
-                    self.snicar, self.params, self.psnveg, self.albveg,
-                    self.state, forc, phen)
+                    self.warm_start, self.snicar, self.params, self.psnveg,
+                    self.albveg, self.state, forc, phen)
                 diags_all.append(d)
                 if callback is not None:
                     callback(date, self.state, d)

@@ -73,6 +73,9 @@ class StepDiagnostics(NamedTuple):
     errsoi: jnp.ndarray
     netrad: jnp.ndarray
     niters_canopy: jnp.ndarray  # canopy stability iterations used
+    niters_ci: jnp.ndarray      # total inner ci secant iterations
+    #                             (sun + shade, summed over the stability
+    #                             loop) — the warm-start perf observable
 
 
 def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
@@ -83,7 +86,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             psn_mode: str | None = None,
             qbot_is_rh: bool = False,
             mixed_radiation: bool = False,
-            elm_correct_seb: bool = False
+            elm_correct_seb: bool = False,
+            warm_start: bool = False
             ) -> tuple[ModelState, StepDiagnostics]:
     """One dtime step.  Pure function of (state, forcing) — jit/pjit it.
 
@@ -91,7 +95,11 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     with ELM-proper clamping instead of the reference's double-clamp
     quirk (see snow_hydrology.snow_aging).  ``psn_mode`` is the static
     photosynthesis pathway ("c3"/"c4"/"mixed"); None derives it from the
-    (then necessarily concrete) trait values."""
+    (then necessarily concrete) trait values.  ``warm_start=True``
+    initializes the canopy stability / ci solvers from the previous
+    step's converged obu/ci (opt-in perf mode: converged physics
+    unchanged, iteration counts and last-ulp rounding differ from the
+    reference-exact cold-start default)."""
     s = state
     p = params
     dewmx = 0.1       # elm_kokkos_interface.cc:99
@@ -301,6 +309,13 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         p.rootfr, p.sucsat, p.watsat, p.bsw, elai, esai, gp.emv, gp.emg,
         hum.qg, t_grnd, forc_t, forc_pbot, forc_lwrad, forc_u, forc_v,
         forc_q, forc_th, gp.z0mg, gp.displa, gp.z0mv, s.t_veg)
+    obu0, ci_prev = cf_init.obu, None
+    if warm_start:
+        # previous-step converged Monin-Obukhov length / ci roots seed
+        # the stability and photosynthesis solvers (0 = cold column)
+        ok = (s.obu_can != 0.0) & jnp.isfinite(s.obu_can)
+        obu0 = jnp.where(ok, s.obu_can, cf_init.obu)
+        ci_prev = jnp.concatenate([s.ci_sun, s.ci_sha])
     cf_stab = cfx.stability_iteration(
         land, psnveg, dtime, snl, frac_veg_nosno, frac_sno,
         fhgt.forc_hgt_u_patch, fhgt.forc_hgt_t_patch,
@@ -313,8 +328,9 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         ts.vcmaxcintsha, ts.vcmaxcintsun, sun.parsha_z, sun.parsun_z,
         sun.laisha_z, sun.laisun_z, forc_pco2, forc_po2,
         cf_init.dayl_factor, cf_init.btran, cf_init.el, cf_init.qsatl,
-        cf_init.qsatldT, cf_init.taf, cf_init.qaf, cf_init.um, cf_init.obu,
-        cf_init.delq, cf_init.t_veg, psn_mode=psn_mode, soybean=soybean)
+        cf_init.qsatldT, cf_init.taf, cf_init.qaf, cf_init.um, obu0,
+        cf_init.delq, cf_init.t_veg, psn_mode=psn_mode, soybean=soybean,
+        warm_start=warm_start, ci_prev=ci_prev)
     cf_cf = cfx.compute_flux(
         land, dtime, snl, frac_veg_nosno, frac_sno, t_soisno, frac_h2osfc,
         s.t_h2osfc, tot.sabv, hum.qg_snow, hum.qg_soil, hum.qg_h2osfc,
@@ -545,6 +561,9 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         qflx_snow_melt=qflx_snow_melt, qflx_sub_snow=sfu.qflx_sub_snow,
         qflx_evap_grnd=sfu.qflx_evap_grnd, qflx_dew_snow=sfu.qflx_dew_snow,
         qflx_dew_grnd=sfu.qflx_dew_grnd,
+        ci_sun=cf_stab.ci[:s.snl.shape[0]],
+        ci_sha=cf_stab.ci[s.snl.shape[0]:],
+        obu_can=cf_stab.obu,
         **{"mss_" + k: v for k, v in mss2.items()},
         **{"cnc_" + k: v for k, v in cnc.items()})
 
@@ -563,5 +582,7 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         fsa=tot.fsa, fsr=fsr_out, t_ref2m=cf_cf.t_ref2m, errh2o=errh2o,
         errh2o_led=errh2o_led,
         errh2osno=errh2osno, errsol=errsol, errlon=errlon, errseb=errseb,
-        errsoi=errsoi, netrad=netrad, niters_canopy=cf_stab.itlef)
+        errsoi=errsoi, netrad=netrad, niters_canopy=cf_stab.itlef,
+        niters_ci=(cf_stab.psn_iters[:s.snl.shape[0]]
+                   + cf_stab.psn_iters[s.snl.shape[0]:]))
     return new_state, diags

@@ -147,6 +147,8 @@ class StabilityOut(NamedTuple):
     wtlq0: jnp.ndarray
     wtaq0: jnp.ndarray
     itlef: jnp.ndarray  # iterations used (diagnostic; reference loop var)
+    ci: jnp.ndarray     # [2*ncol] sun|shade ci roots (warm-start carry)
+    psn_iters: jnp.ndarray  # i32 [2*ncol] total inner secant iterations
 
 
 class _LoopState(NamedTuple):
@@ -186,6 +188,9 @@ class _LoopState(NamedTuple):
     temp2: jnp.ndarray
     temp12m: jnp.ndarray
     temp22m: jnp.ndarray
+    ci: jnp.ndarray  # [2*ncol] sun|shade ci roots (warm-start carry;
+    #                  dead and DCE'd by XLA when warm_start is off)
+    psn_iters: jnp.ndarray  # i32 [2*ncol] accumulated inner secant iters
 
 
 def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
@@ -200,7 +205,8 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
                         forc_pco2, forc_po2, dayl_factor, btran, el, qsatl,
                         qsatldT, taf, qaf, um, obu, delq,
                         t_veg, psn_mode: str | None = None,
-                        *, soybean) -> StabilityOut:
+                        *, soybean, warm_start: bool = False,
+                        ci_prev=None) -> StabilityOut:
     """Leaf-temperature Newton iteration (≤40 iterations + convergence on
     both Δt_veg < 0.01 K and Δefe < 0.1 W/m²), with per-iteration sun and
     shade photosynthesis solves.
@@ -212,6 +218,14 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
     MANDATORY and derived in one place (``driver/step.py`` from
     ``params.vtype``) — a scalar ``land.vtype`` fallback would silently
     broadcast column 0's PFT branch over a heterogeneous batch.
+
+    ``warm_start=True`` (opt-in perf mode; changes solver iteration
+    paths, so the reference-exact default is off) warm-starts the ci
+    solve: each outer iteration's psn call starts from the previous
+    iteration's converged roots, and the first from ``ci_prev`` — the
+    previous *step*'s roots ([2*ncol] sun|shade, 0 = cold).  The
+    converged physics is unchanged; only convergence trajectories (and
+    hence iteration counts and last-ulp rounding) differ.
     """
     btran0 = 0.0
     beta = 1.0
@@ -229,6 +243,8 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
     p2 = psn.tile_traits(p, 2)
 
     z = jnp.zeros_like(t_grnd)
+    ci_carry0 = (ci_prev if (warm_start and ci_prev is not None)
+                 else jnp.concatenate([z, z]))
     s0 = _LoopState(
         t_veg=t_veg, el=el, qsatl=qsatl, qsatldT=qsatldT, taf=taf, qaf=qaf,
         um=um, obu=obu, dth=z, dqh=z, delq=delq, btran=btran, tlbef=z,
@@ -236,7 +252,8 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
         nmozsgn=jnp.zeros_like(snl), itlef=jnp.zeros_like(snl),
         stop=~veg, qflx_tran_veg=z, qflx_evap_veg=z, eflx_sh_veg=z,
         wtg=z, wtl0=z, wta0=z, wtal=z, wtgq=z, wtalq=z, wtlq0=z, wtaq0=z,
-        temp1=z, temp2=z, temp12m=z, temp22m=z)
+        temp1=z, temp2=z, temp12m=z, temp22m=z, ci=ci_carry0,
+        psn_iters=jnp.zeros((2 * z.shape[0],), jnp.int32))
 
     def cond(s: _LoopState):
         return jnp.any((s.itlef <= itmax) & ~s.stop)
@@ -307,7 +324,7 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
             cat2(rb), cat(btran_sun, btran_sha), cat2(dayl_factor),
             cat2(thm), cat2(tlai_z), cat(vcmaxcintsun, vcmaxcintsha),
             cat(parsun_z, parsha_z), cat(laisun_z, laisha_z), cat2(act),
-            mode=psn_mode)
+            mode=psn_mode, ci_init=s.ci if warm_start else None)
         ncol = s.t_veg.shape[0]
         rssun = psn_both.rs[:ncol]
         rssha = psn_both.rs[ncol:]
@@ -450,7 +467,12 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
             wtgq=sel(wtgq, s.wtgq), wtalq=sel(wtalq, s.wtalq),
             wtlq0=sel(wtlq0, s.wtlq0), wtaq0=sel(wtaq0, s.wtaq0),
             temp1=sel(temp1, s.temp1), temp2=sel(temp2, s.temp2),
-            temp12m=sel(temp12m, s.temp12m), temp22m=sel(temp22m, s.temp22m))
+            temp12m=sel(temp12m, s.temp12m),
+            temp22m=sel(temp22m, s.temp22m),
+            ci=jnp.where(cat2(act) & (psn_both.ci_root > 0.0),
+                         psn_both.ci_root, s.ci),
+            psn_iters=s.psn_iters + jnp.where(cat2(act),
+                                              psn_both.ci_iters, 0))
 
     s = jax.lax.while_loop(cond, body, s0)
 
@@ -463,7 +485,7 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
         temp12m=s.temp12m, temp22m=s.temp22m, tlbef=s.tlbef, delq=s.delq,
         dt_veg=s.dt_veg, t_veg=s.t_veg, itlef=s.itlef,
         wtgq=s.wtgq, wtalq=s.wtalq,
-        wtlq0=s.wtlq0, wtaq0=s.wtaq0)
+        wtlq0=s.wtlq0, wtaq0=s.wtaq0, ci=s.ci, psn_iters=s.psn_iters)
 
 
 class ComputeFluxOut(NamedTuple):

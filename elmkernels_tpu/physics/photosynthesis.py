@@ -408,18 +408,23 @@ def hybrid_solve(x0_init, env: CiEnv, mode: str, enabled,
     # columns that exhausted Brent's ITMAX: x = b (line 510)
     exhausted = s.brent & ~bf.done
     xfin = jnp.where(exhausted, bf.b, bf.xfin)
-    return xfin, bf.out
+    # per-column secant iteration count (observability for the warm-start
+    # perf mode; the brent loop-level count is not per-column)
+    return xfin, bf.out, s.it
 
 
 class PhotosynthesisOut(NamedTuple):
-    rs: jnp.ndarray    # canopy stomatal resistance (s/m)
-    ci_z: jnp.ndarray  # [ncol, nlevcan]
+    rs: jnp.ndarray      # canopy stomatal resistance (s/m)
+    ci_z: jnp.ndarray    # [ncol, nlevcan]
+    ci_root: jnp.ndarray  # hybrid-solve root [ncol]; warm-start carry
+    ci_iters: jnp.ndarray  # i32 [ncol] secant iterations used
 
 
 def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
                    eair, oair, cair, rb, btran, dayl_factor, thm, tlai_z,
                    vcmaxcint, par_z, lai_z, enabled,
-                   mode: str | None = None) -> PhotosynthesisOut:
+                   mode: str | None = None,
+                   ci_init=None) -> PhotosynthesisOut:
     """Leaf photosynthesis + stomatal resistance for one canopy phase
     (sun or shade).  nlevcan == 1 big-leaf path.
 
@@ -428,6 +433,12 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
     numerically safe).  ``mode`` selects the compiled pathway ("c3"/"c4"/
     "mixed"); None derives it from concrete ``p.c3psn`` (homogeneous
     trait sets only).
+
+    ``ci_init`` optionally warm-starts the hybrid secant/Brent ci solve:
+    columns where it is positive and finite start from it instead of the
+    reference's 0.7/0.4*cair cold guess (an opt-in perf mode — it changes
+    the solver's iteration path, so the reference-exact default passes
+    None; see canopy_fluxes.stability_iteration ``warm_start``).
     """
     assert c.NLEVCAN == 1
     if mode is None:
@@ -538,6 +549,9 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
         ci0 = jnp.where(isc3, 0.7, 0.4) * cair
     else:
         ci0 = (0.7 if c3 else 0.4) * cair
+    if ci_init is not None:
+        ok = (ci_init > 0.0) & jnp.isfinite(ci_init)
+        ci0 = jnp.where(ok, ci_init, ci0)
 
     def cc(v):
         return jnp.broadcast_to(jnp.asarray(v, cair.dtype), cair.shape)
@@ -548,7 +562,7 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
                 c3frac=cc(p.c3psn))
     zero = jnp.zeros_like(cair)
     out0 = PsnOut(zero, zero, zero, zero, zero, zero)
-    ci, out = hybrid_solve(ci0, env, mode, enabled & day, out0)
+    ci, out, ci_iters = hybrid_solve(ci0, env, mode, enabled & day, out0)
 
     gs_mol = jnp.where(out.an < 0.0, bbb, out.gs_mol)
     ci_day = (cair - out.an * forc_pbot
@@ -566,4 +580,5 @@ def photosynthesis(p: PFTPsnParams, nrad, forc_pbot, t_veg, t10, esat_tv,
     haslai = lai0 > 0.0
     rs = jnp.where(haslai,
                    lai0 / jnp.where(haslai, gscan, 1.0) - rb, 0.0)
-    return PhotosynthesisOut(rs, ci_out[:, None])
+    return PhotosynthesisOut(rs, ci_out[:, None],
+                             jnp.where(day, ci, 0.0), ci_iters)
