@@ -78,6 +78,84 @@ class StepDiagnostics(NamedTuple):
     #                             loop) — the warm-start perf observable
 
 
+class _SurfaceOut(NamedTuple):
+    """Boundary between the surface phase (forcing/phenology interp,
+    init_timestep, albedo+SNICAR, canopy hydrology, surface radiation,
+    canopy temperature) and the flux/column phases.  Splitting ``advance``
+    at these seams lets each phase compile standalone (XLA's optimization
+    passes are superlinear in graph size — see BASELINE.md compile
+    table); composing them in one jit is bit-identical to the former
+    monolithic body."""
+    forc_t: jnp.ndarray
+    forc_th: jnp.ndarray
+    forc_pbot: jnp.ndarray
+    forc_q: jnp.ndarray
+    forc_lwrad: jnp.ndarray
+    forc_rain: jnp.ndarray
+    forc_snow: jnp.ndarray
+    forc_u: jnp.ndarray
+    forc_v: jnp.ndarray
+    forc_rho: jnp.ndarray
+    forc_po2: jnp.ndarray
+    forc_pco2: jnp.ndarray
+    forc_solad: jnp.ndarray
+    forc_solai: jnp.ndarray
+    dayl: jnp.ndarray
+    max_dayl: jnp.ndarray
+    elai: jnp.ndarray
+    esai: jnp.ndarray
+    htop: jnp.ndarray
+    frac_veg_nosno: jnp.ndarray
+    do_capsnow: jnp.ndarray
+    frac_iceold: jnp.ndarray
+    swe_old: jnp.ndarray
+    fwet: jnp.ndarray
+    fdry: jnp.ndarray
+    snl: jnp.ndarray
+    dz: jnp.ndarray
+    z: jnp.ndarray
+    zi: jnp.ndarray
+    snw_rds: jnp.ndarray
+    h2osoi_liq: jnp.ndarray
+    h2osoi_ice: jnp.ndarray
+    t_soisno: jnp.ndarray
+    snow_depth: jnp.ndarray
+    h2osno: jnp.ndarray
+    int_snow: jnp.ndarray
+    frac_sno: jnp.ndarray
+    frac_sno_eff: jnp.ndarray
+    frac_h2osfc: jnp.ndarray
+    h2osfc: jnp.ndarray
+    h2ocan: jnp.ndarray
+    t_grnd: jnp.ndarray
+    tssbef: jnp.ndarray
+    t_h2osfc_bef: jnp.ndarray
+    soilbeta: jnp.ndarray
+    begwb: jnp.ndarray
+    h2osno_old: jnp.ndarray
+    hum: tuple
+    gp: tuple
+    fhgt: tuple
+    can: tuple
+    ts: tuple
+    sun: tuple
+    tot: tuple
+    sabg_lyr: jnp.ndarray
+    fsr_out: jnp.ndarray
+    gf: tuple
+
+
+class _FluxOut(NamedTuple):
+    """Boundary between the flux phase (bareground + canopy Monin-Obukhov
+    iterations with photosynthesis) and the column phase (soil/snow
+    temperature solve, snow hydrology, surface fluxes, conservation)."""
+    rootr: jnp.ndarray
+    cf_stab: tuple
+    cf_cf: tuple
+    t_veg: jnp.ndarray
+    h2ocan: jnp.ndarray
+
+
 def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             albveg: sa.PFTAlbParams, snicar: SnicarTables,
             params: ModelParams, state: ModelState, forcing: StepForcing,
@@ -91,6 +169,12 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             ) -> tuple[ModelState, StepDiagnostics]:
     """One dtime step.  Pure function of (state, forcing) — jit/pjit it.
 
+    Composes the three phases (surface → fluxes → column); jitting this
+    composition fuses them into one executable, while the phases can
+    also be compiled standalone (``tools/compile_breakdown.py``,
+    ``CB_MODE=phases``) where XLA's superlinear optimization passes make
+    three small compiles much cheaper than one big one.
+
     ``elm_correct_snow_aging=True`` runs the full Flanner-Zender aging
     with ELM-proper clamping instead of the reference's double-clamp
     quirk (see snow_hydrology.snow_aging).  ``psn_mode`` is the static
@@ -100,6 +184,24 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     step's converged obu/ci (opt-in perf mode: converged physics
     unchanged, iteration counts and last-ulp rounding differ from the
     reference-exact cold-start default)."""
+    sfo = surface_phase(land, albveg, snicar, params, state, forcing, phen,
+                        dtime, qbot_is_rh=qbot_is_rh,
+                        mixed_radiation=mixed_radiation)
+    fl = flux_phase(land, psnveg, params, state, sfo, dtime,
+                    psn_mode=psn_mode, warm_start=warm_start)
+    return column_phase(land, params, state, forcing, sfo, fl, dtime,
+                        elm_correct_snow_aging=elm_correct_snow_aging,
+                        elm_correct_seb=elm_correct_seb)
+
+
+def surface_phase(land: c.LandType, albveg: sa.PFTAlbParams,
+                  snicar: SnicarTables, params: ModelParams,
+                  state: ModelState, forcing: StepForcing,
+                  phen: StepPhenology, dtime: float,
+                  qbot_is_rh: bool = False,
+                  mixed_radiation: bool = False) -> _SurfaceOut:
+    """Forcing/phenology interp + init_timestep + albedo/SNICAR +
+    canopy hydrology + surface radiation + canopy temperature."""
     s = state
     p = params
     dewmx = 0.1       # elm_kokkos_interface.cc:99
@@ -111,7 +213,6 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     # =================== init_timestep (init_timestep_kokkos.cc) ==========
     # phenology (phenology_kokkos.cc -> ComputePhenology)
     vtype = p.vtype
-    soybean = (vtype == c.NSOYBEAN) | (vtype == c.NSOYBEANIRRIG)
     phout = ph.compute_phenology(
         phen.mlai[0], phen.mlai[1], phen.msai[0], phen.msai[1],
         phen.mhtop[0], phen.mhtop[1], phen.mhbot[0], phen.mhbot[1],
@@ -279,7 +380,54 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     fhgt = ct.forcing_height(land, veg_active, frac_veg_nosno, gp.z0m,
                              gp.z0mg, forc_t, gp.displa, forc_hgt_u,
                              forc_hgt_t, forc_hgt_q)
+
+    return _SurfaceOut(
+        forc_t=forc_t, forc_th=forc_th, forc_pbot=forc_pbot, forc_q=forc_q,
+        forc_lwrad=forc_lwrad, forc_rain=forc_rain, forc_snow=forc_snow,
+        forc_u=forc_u, forc_v=forc_v, forc_rho=forc_rho, forc_po2=forc_po2,
+        forc_pco2=forc_pco2, forc_solad=forc_solad, forc_solai=forc_solai,
+        dayl=dayl, max_dayl=max_dayl, elai=elai, esai=esai, htop=htop,
+        frac_veg_nosno=frac_veg_nosno, do_capsnow=do_capsnow,
+        frac_iceold=frac_iceold, swe_old=swe_old, fwet=fwet, fdry=fdry,
+        snl=snl, dz=dz, z=z, zi=zi, snw_rds=snw_rds,
+        h2osoi_liq=h2osoi_liq, h2osoi_ice=h2osoi_ice, t_soisno=t_soisno,
+        snow_depth=snow_depth, h2osno=h2osno, int_snow=int_snow,
+        frac_sno=frac_sno, frac_sno_eff=frac_sno_eff,
+        frac_h2osfc=frac_h2osfc, h2osfc=h2osfc, h2ocan=h2ocan,
+        t_grnd=t_grnd, tssbef=tssbef, t_h2osfc_bef=t_h2osfc_bef,
+        soilbeta=soilbeta, begwb=begwb, h2osno_old=h2osno_old,
+        hum=hum, gp=gp, fhgt=fhgt, can=can, ts=ts, sun=sun, tot=tot,
+        sabg_lyr=sabg_lyr, fsr_out=fsr_out, gf=gf)
+
+
+def flux_phase(land: c.LandType, psnveg: psn.PFTPsnParams,
+               params: ModelParams, state: ModelState, sfo: _SurfaceOut,
+               dtime: float, psn_mode: str | None = None,
+               warm_start: bool = False) -> _FluxOut:
+    """Bareground + canopy Monin-Obukhov flux iterations (the
+    photosynthesis-bearing while loops)."""
+    s = state
+    p = params
+    (elai, esai, htop, frac_veg_nosno, fwet, fdry, snl, t_soisno,
+     h2osoi_liq, h2osoi_ice, dz, snow_depth, h2ocan, t_grnd,
+     frac_sno, frac_h2osfc, soilbeta, hum, gp, fhgt, can, sun,
+     tot) = (sfo.elai, sfo.esai, sfo.htop, sfo.frac_veg_nosno, sfo.fwet,
+             sfo.fdry, sfo.snl, sfo.t_soisno, sfo.h2osoi_liq,
+             sfo.h2osoi_ice, sfo.dz, sfo.snow_depth, sfo.h2ocan,
+             sfo.t_grnd, sfo.frac_sno, sfo.frac_h2osfc, sfo.soilbeta,
+             sfo.hum, sfo.gp, sfo.fhgt, sfo.can, sfo.sun, sfo.tot)
+    ts = sfo.ts
+    (forc_t, forc_th, forc_pbot, forc_q, forc_lwrad, forc_u, forc_v,
+     forc_rho, forc_po2, forc_pco2, dayl, max_dayl) = (
+         sfo.forc_t, sfo.forc_th, sfo.forc_pbot, sfo.forc_q,
+         sfo.forc_lwrad, sfo.forc_u, sfo.forc_v, sfo.forc_rho,
+         sfo.forc_po2, sfo.forc_pco2, sfo.dayl, sfo.max_dayl)
     thm = fhgt.thm
+    vtype = p.vtype
+    soybean = (vtype == c.NSOYBEAN) | (vtype == c.NSOYBEANIRRIG)
+    veg_active = jnp.ones_like(s.snl, dtype=bool)
+    altmax_indx = jnp.full_like(s.snl, 5)
+    altmax_lastyear_indx = jnp.zeros_like(s.snl)
 
     # =================== bareground_fluxes ================================
     zero = jnp.zeros_like(forc_t)
@@ -346,8 +494,39 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
         bg_cf.eflx_sh_h2osfc, bg_cf.qflx_evap_soi, bg_cf.qflx_ev_snow,
         bg_cf.qflx_ev_soil, bg_cf.qflx_ev_h2osfc, bg_init.dlrad,
         bg_init.ulrad, bg_cf.t_ref2m, bg_cf.q_ref2m, bg_cf.rh_ref2m)
-    h2ocan = cf_cf.h2ocan
-    t_veg = cf_stab.t_veg
+    return _FluxOut(rootr=cf_init.rootr, cf_stab=cf_stab, cf_cf=cf_cf,
+                    t_veg=cf_stab.t_veg, h2ocan=cf_cf.h2ocan)
+
+
+def column_phase(land: c.LandType, params: ModelParams, state: ModelState,
+                 forcing: StepForcing, sfo: _SurfaceOut, fl: _FluxOut,
+                 dtime: float, elm_correct_snow_aging: bool = False,
+                 elm_correct_seb: bool = False
+                 ) -> tuple[ModelState, StepDiagnostics]:
+    """Soil/snow temperature solve + phase change, snow hydrology,
+    surface flux finalization, conservation diagnostics, state assembly."""
+    s = state
+    p = params
+    (snl, dz, z, zi, snw_rds, h2osoi_liq, h2osoi_ice, t_soisno,
+     snow_depth, h2osno, int_snow, frac_sno, frac_sno_eff, frac_h2osfc,
+     h2osfc, t_grnd, tssbef, t_h2osfc_bef, begwb,
+     h2osno_old) = (sfo.snl, sfo.dz, sfo.z, sfo.zi, sfo.snw_rds,
+                    sfo.h2osoi_liq, sfo.h2osoi_ice, sfo.t_soisno,
+                    sfo.snow_depth, sfo.h2osno, sfo.int_snow, sfo.frac_sno,
+                    sfo.frac_sno_eff, sfo.frac_h2osfc, sfo.h2osfc,
+                    sfo.t_grnd, sfo.tssbef, sfo.t_h2osfc_bef, sfo.begwb,
+                    sfo.h2osno_old)
+    (forc_t, forc_lwrad, forc_rain, forc_snow, forc_solad,
+     forc_solai) = (sfo.forc_t, sfo.forc_lwrad, sfo.forc_rain,
+                    sfo.forc_snow, sfo.forc_solad, sfo.forc_solai)
+    (frac_veg_nosno, do_capsnow, frac_iceold, swe_old, gp, tot, sabg_lyr,
+     fsr_out, gf) = (sfo.frac_veg_nosno, sfo.do_capsnow, sfo.frac_iceold,
+                     sfo.swe_old, sfo.gp, sfo.tot, sfo.sabg_lyr,
+                     sfo.fsr_out, sfo.gf)
+    cf_stab, cf_cf = fl.cf_stab, fl.cf_cf
+    h2ocan, t_veg = fl.h2ocan, fl.t_veg
+    cf_init_rootr = fl.rootr
+    veg_active = jnp.ones_like(s.snl, dtype=bool)
 
     # =================== soil_temperature (7-stage chain) =================
     props = sth.thermal_properties(land, snl, frac_sno, frac_h2osfc,
@@ -423,7 +602,7 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                                            mss["bcphi"], mss["bcpho"])
     mss = dict(mss, bcphi=bcphi, bcpho=bcpho)
     qflx_rootsoi = sh.transpiration(veg_active, cf_stab.qflx_tran_veg,
-                                    cf_init.rootr)
+                                    cf_init_rootr)
     dz = sh.snow_compaction(land, snl, dtime, sw.int_snow, p.n_melt,
                             sw.frac_sno, pc2.imelt, swe_old,
                             sw.h2osoi_liq, sw.h2osoi_ice, t_soisno,

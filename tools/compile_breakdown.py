@@ -81,6 +81,31 @@ def main():
             land, psnveg, albveg, sn, p, st, f, ph, dtime),
             snicar, params, state, forc, phen)
 
+    # ---- phase-split compiles (VERDICT r2 item 2): the same step as
+    # three standalone executables.  XLA's optimization passes are
+    # superlinear in graph size, so sum(phases) << FULL measures what a
+    # segmented dispatch loop would pay in compile time.
+    if os.environ.get("CB_PHASES", "1") == "1":
+        def fn_surface(sn, p, st, f, ph):
+            return step_mod.surface_phase(land, albveg, sn, p, st, f, ph,
+                                          dtime)
+
+        def fn_flux(pv, p, st, sfo):
+            return step_mod.flux_phase(land, pv, p, st, sfo, dtime,
+                                       psn_mode=model.psn_mode)
+
+        def fn_column(p, st, f, sfo, fl):
+            return step_mod.column_phase(land, p, st, f, sfo, fl, dtime)
+
+        sfo_abs = jax.eval_shape(fn_surface, snicar, params, state, forc,
+                                 phen)
+        fl_abs = jax.eval_shape(fn_flux, psnveg, params, state, sfo_abs)
+        bench("phase: surface", fn_surface, snicar, params, state, forc,
+              phen)
+        bench("phase: fluxes", fn_flux, psnveg, params, state, sfo_abs)
+        bench("phase: column", fn_column, params, state, forc, sfo_abs,
+              fl_abs)
+
     # ---- per-group probes ------------------------------------------------
     from elmkernels_tpu import constants as c
     from elmkernels_tpu.physics import (canopy_fluxes as cfx, photosynthesis
