@@ -135,24 +135,75 @@ ICOL_ROAD_PERV = ISTURB_MIN * 10 + 5
 
 @dataclasses.dataclass(frozen=True)
 class LandType:
-    """Static land classification for a batch of columns.
+    """Land classification for a batch of columns.
 
     The reference keeps one ``LandType`` per domain rather than per cell
-    (``land_data.h:32-44``); we keep that convention and treat the fields as
-    *static* Python values, so land-type branches resolve at trace time and
-    cost nothing on device.
+    (``land_data.h:32-44``).  Here ``ltype`` may additionally be an
+    [ncol] integer array (a traced value): every physics branch goes
+    through :func:`ltype_mask`/:func:`lsel`, which fold to the zero-cost
+    static branch when ``ltype`` is a plain int and lower to per-column
+    masked selects when it is per-column — the TPU-first upgrade over
+    the reference's one-LandType-per-domain placeholder.  ``ctype``/
+    ``urbpoi``/``lakpoi`` stay domain-static (urban/lake columns are
+    placeholder classes in the reference as well).
     """
 
-    ltype: int = 1   # land unit type (ISTSOIL by default)
+    ltype: int = 1   # land unit type (ISTSOIL); int or [ncol] i32 array
     ctype: int = 1   # column type
     vtype: int = 12  # vegetation (PFT) type
     urbpoi: bool = False
     lakpoi: bool = False
 
     @property
-    def is_soil_or_crop(self) -> bool:
-        return self.ltype in (ISTSOIL, ISTCROP)
+    def is_soil_or_crop(self):
+        return ltype_mask(self, ISTSOIL, ISTCROP)
 
     @property
     def is_wall(self) -> bool:
         return self.ctype in (ICOL_SUNWALL, ICOL_SHADEWALL)
+
+
+def ltype_mask(land: "LandType", *types):
+    """True where ``land.ltype`` is one of ``types``.
+
+    Returns a Python bool for a static int ltype — callers' ``if`` tests
+    then fold at trace time exactly as before — or an [ncol] bool array
+    for a per-column ltype.  Pair with :func:`lsel`.
+    """
+    lt = land.ltype
+    if isinstance(lt, int):
+        return lt in types
+    m = lt == types[0]
+    for t in types[1:]:
+        m = m | (lt == t)
+    return m
+
+
+def lsel(mask, a, b):
+    """``a`` where ``mask`` else ``b``.
+
+    Folds to plain Python selection when ``mask`` is a static bool (no
+    ops traced for the untaken branch's select); with an [ncol] mask the
+    selection is a per-column ``jnp.where`` with the mask broadcast over
+    trailing layer/band axes.  ``a``/``b`` may be pytrees (NamedTuples)
+    of matching structure.
+    """
+    if isinstance(mask, bool):
+        return a if mask else b
+    import jax
+    import jax.numpy as jnp
+
+    def sel(x, y):
+        nd = max(jnp.ndim(x), jnp.ndim(y))
+        m = mask.reshape(mask.shape + (1,) * (nd - mask.ndim))
+        return jnp.where(m, x, y)
+    return jax.tree.map(sel, a, b)
+
+
+def lor(a, b):
+    """Logical-or of a static-or-per-column mask with a static bool."""
+    if isinstance(a, bool) and isinstance(b, bool):
+        return a or b
+    if b is True or a is True:
+        return True
+    return a if b is False else (b if a is False else a | b)

@@ -202,6 +202,7 @@ def default_params(ncol: int, pft_path: str, vtype=12,
                    mxsoil_color: int = 20,
                    organic_max: float | None = None,
                    snowage_tables=None,
+                   ltype=c.ISTSOIL,
                    dtype=jnp.float64) -> ModelParams:
     """Assemble ModelParams.  Defaults mirror the reference driver's
     hardwired site (``elm_kokkos_interface.cc:92-96``: Utqiagvik,
@@ -239,8 +240,11 @@ def default_params(ncol: int, pft_path: str, vtype=12,
         organic_max = read_organic_max(pft_path)
     hyd = stx.init_soil_hydraulics(organic_max, sand, clay, org, zsoi2)
 
-    # topography factors (reference hardwired raw values)
-    land = c.LandType(ltype=1, ctype=1,
+    # topography factors (reference hardwired raw values); ltype may be
+    # per-column — init_melt_factor branches through c.ltype_mask
+    lt = np.asarray(ltype, np.int32)
+    land = c.LandType(ltype=(int(lt) if lt.ndim == 0 else jnp.asarray(lt)),
+                      ctype=1,
                       vtype=int(vt if not heterog else vt.flat[0]))
     topo_slope = ini.init_topo_slope(jnp.full((ncol,), 0.070044865858546,
                                               dtype))
@@ -291,6 +295,7 @@ def default_params(ncol: int, pft_path: str, vtype=12,
         lon_r=_per_column(np.asarray(lon_deg, np.float64) * c.ELM_PI
                           / 180.0, ncol, "lon_deg", dtype),
         vtype=jnp.asarray(np.broadcast_to(vt, (ncol,)).copy()),
+        ltype=jnp.asarray(np.broadcast_to(lt, (ncol,)).copy()),
         watsat=hyd.watsat, sucsat=hyd.sucsat, bsw=hyd.bsw,
         watdry=hyd.watdry, watopt=hyd.watopt, watfc=hyd.watfc,
         tkmg=hyd.tkmg, tkdry=hyd.tkdry, csol=hyd.csol, rootfr=rootfr,

@@ -107,6 +107,10 @@ class ModelParams(NamedTuple):
     # vegetation (PFT) type per column (reference keeps vtype per cell in
     # ELMState; land_data.h's LandType carries only the domain default)
     vtype: jnp.ndarray          # i32 [ncol]
+    # landunit type per column (ISTSOIL/ISTCROP/ISTWET/ISTICE/...) — the
+    # TPU-first upgrade over the reference's one-LandType-per-domain
+    # placeholder; consumed only when the model runs with het_ltype
+    ltype: jnp.ndarray          # i32 [ncol]
     # soil hydraulic/thermal constants [ncol, NLEVGRND]
     watsat: jnp.ndarray
     sucsat: jnp.ndarray

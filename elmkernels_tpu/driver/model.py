@@ -28,11 +28,11 @@ DEFAULT_PFT_PATH = "/root/reference/test/data/clm_params_c180524.nc"
 DEFAULT_SNICAR_PATH = "/root/reference/test/data/SnowOptics_IN.txt"
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
-                   donate_argnums=(12,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
+                   donate_argnums=(13,))
 def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 seb_fix, warm, snicar, params, psnveg, albveg, state, forc,
-                 phen):
+                 seb_fix, warm, het_lt, snicar, params, psnveg, albveg,
+                 state, forc, phen):
     """Shared jitted step; land/dtime/flags/psn_mode are static, PFT
     traits are traced data (scalars for a homogeneous domain, [ncol]
     arrays for per-column vegetation), so all Model instances with the
@@ -42,7 +42,8 @@ def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                             elm_correct_snow_aging=aging_fix,
                             psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
                             mixed_radiation=mixed_rad,
-                            elm_correct_seb=seb_fix, warm_start=warm)
+                            elm_correct_seb=seb_fix, warm_start=warm,
+                            het_ltype=het_lt)
 
 
 class ScanDiagnostics(NamedTuple):
@@ -64,11 +65,11 @@ class ScanDiagnostics(NamedTuple):
     niters_ci_mean: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
-                   donate_argnums=(12,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
+                   donate_argnums=(13,))
 def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 seb_fix, warm, snicar, params, psnveg, albveg, state,
-                 forc_stack, phen_stack):
+                 seb_fix, warm, het_lt, snicar, params, psnveg, albveg,
+                 state, forc_stack, phen_stack):
     """K timesteps inside ONE executable via ``lax.scan`` — amortizes
     dispatch (the dominant cost at small batch on a remote-tunnel
     backend) and lets XLA overlap steps' epilogue/prologue.  The
@@ -81,7 +82,8 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                                  elm_correct_snow_aging=aging_fix,
                                  psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
                                  mixed_radiation=mixed_rad,
-                                 elm_correct_seb=seb_fix, warm_start=warm)
+                                 elm_correct_seb=seb_fix, warm_start=warm,
+                                 het_ltype=het_lt)
         out = ScanDiagnostics(
             errh2o_max=jnp.abs(d.errh2o).max(),
             errh2o_led_max=jnp.abs(d.errh2o_led).max(),
@@ -130,6 +132,10 @@ class Model:
     # Model.from_surfdata
     lat_deg: float | np.ndarray = 71.323
     lon_deg: float | np.ndarray = 203.3886
+    # landunit type: an int (domain-static, branches fold at trace time —
+    # the reference's one-LandType-per-domain model) or an [ncol] array
+    # (per-column masked land classes: mixed soil/ice/wet batches)
+    ltype: int | np.ndarray = 1
     soil_color: int | np.ndarray = 15
     mxsoil_color: int = 20
     pct_sand: float | np.ndarray = 40.0
@@ -168,15 +174,23 @@ class Model:
 
     def __post_init__(self):
         vt = np.asarray(self.vtype, np.int32)
+        lt = np.asarray(self.ltype, np.int32)
+        self.het_ltype = lt.ndim > 0
+        if self.het_ltype and lt.shape != (self.ncol,):
+            raise ValueError(f"ltype shape {lt.shape} != ({self.ncol},)")
+        # the static land object always carries an int ltype (it is a
+        # hashable jit-static); per-column ltype rides in params and is
+        # swapped in inside the trace (step.advance het_ltype)
+        ltype0 = int(lt) if not self.het_ltype else c.ISTSOIL
         if vt.ndim == 0:
-            self.land = c.LandType(ltype=1, ctype=1, vtype=int(vt))
+            self.land = c.LandType(ltype=ltype0, ctype=1, vtype=int(vt))
             self.psnveg = params_mod.load_pft_psn(self.pft_path, int(vt))
             self.albveg = params_mod.load_pft_alb(self.pft_path, int(vt))
         else:
             if vt.shape != (self.ncol,):
                 raise ValueError(
                     f"vtype shape {vt.shape} != ({self.ncol},)")
-            self.land = c.LandType(ltype=1, ctype=1, vtype=int(vt[0]))
+            self.land = c.LandType(ltype=ltype0, ctype=1, vtype=int(vt[0]))
             table = params_mod.load_pft_table(self.pft_path)
             self.psnveg = params_mod.gather_pft_psn(table, vt)
             self.albveg = params_mod.gather_pft_alb(table, vt)
@@ -204,8 +218,10 @@ class Model:
             self.lon_deg, soil_color=self.soil_color,
             pct_sand=self.pct_sand, pct_clay=self.pct_clay,
             organic=self.organic, mxsoil_color=self.mxsoil_color,
-            snowage_tables=snowage_tables)
+            snowage_tables=snowage_tables, ltype=self.ltype)
         self.state = cold_start(self.ncol)
+        if self.het_ltype or self.land.ltype != c.ISTSOIL:
+            self.state = self._ltype_cold_start(self.state)
         if self.forcing_basename is not None:
             self.forcing = forcing_mod.NetCDFForcing(
                 self.forcing_basename, self.ncol,
@@ -238,7 +254,36 @@ class Model:
             _jitted_step, self.land, self.dtime,
             self.elm_correct_snow_aging, self.psn_mode,
             getattr(self.forcing, "qbot_is_rh", False),
-            self.mixed_radiation, self.elm_correct_seb, self.warm_start)
+            self.mixed_radiation, self.elm_correct_seb, self.warm_start,
+            self.het_ltype)
+
+    def _ltype_cold_start(self, state):
+        """Re-derive the cold-start temperature/water profiles for
+        non-soil landunits: the hardwired reference IC (cold_start) is a
+        soil column; ice/wet columns take the reference's init kernels
+        instead (``init_soil_temp``/``init_soilh2o_state``,
+        ``initialize_elm_kokkos.cc:374-431``) so an ice sheet starts
+        ice-filled at 250 K rather than as near-empty soil."""
+        from elmkernels_tpu.physics import init_state as ini
+        lt = np.asarray(self.ltype, np.int32)
+        land_i = c.LandType(
+            ltype=(jnp.asarray(lt) if self.het_ltype else int(lt)),
+            ctype=1, vtype=self.land.vtype)
+        t, t_grnd = ini.init_soil_temp(land_i, state.snl, self.ncol,
+                                       state.t_soisno.dtype)
+        vol, liq, ice = ini.init_soilh2o_state(land_i, state.snl,
+                                               self.params.watsat, t,
+                                               state.dz)
+        nonsoil = jnp.asarray(
+            np.broadcast_to((lt != c.ISTSOIL) & (lt != c.ISTCROP),
+                            (self.ncol,)))
+        m1 = nonsoil[:, None]
+        return state._replace(
+            t_soisno=jnp.where(m1, t, state.t_soisno),
+            t_grnd=jnp.where(nonsoil, t_grnd, state.t_grnd),
+            h2osoi_vol=jnp.where(m1, vol, state.h2osoi_vol),
+            h2osoi_liq=jnp.where(m1, liq, state.h2osoi_liq),
+            h2osoi_ice=jnp.where(m1, ice, state.h2osoi_ice))
 
     @classmethod
     def from_surfdata(cls, surfdata_path: str, ncol: int, col0: int = 0,
@@ -339,8 +384,8 @@ class Model:
             self.land, self.dtime, self.elm_correct_snow_aging,
             self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
             self.mixed_radiation, self.elm_correct_seb, self.warm_start,
-            self.snicar, self.params, self.psnveg, self.albveg, self.state,
-            forc_stack, phen_stack)
+            self.het_ltype, self.snicar, self.params, self.psnveg,
+            self.albveg, self.state, forc_stack, phen_stack)
         return diags
 
     def host_windows(self, start: Date, nsteps: int):
@@ -414,8 +459,9 @@ class Model:
                     self.psn_mode,
                     getattr(self.forcing, "qbot_is_rh", False),
                     self.mixed_radiation, self.elm_correct_seb,
-                    self.warm_start, self.snicar, self.params, self.psnveg,
-                    self.albveg, self.state, forc, phen)
+                    self.warm_start, self.het_ltype, self.snicar,
+                    self.params, self.psnveg, self.albveg, self.state,
+                    forc, phen)
                 diags_all.append(d)
                 if callback is not None:
                     callback(date, self.state, d)

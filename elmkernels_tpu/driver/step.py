@@ -165,7 +165,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             qbot_is_rh: bool = False,
             mixed_radiation: bool = False,
             elm_correct_seb: bool = False,
-            warm_start: bool = False
+            warm_start: bool = False,
+            het_ltype: bool = False
             ) -> tuple[ModelState, StepDiagnostics]:
     """One dtime step.  Pure function of (state, forcing) — jit/pjit it.
 
@@ -174,6 +175,12 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     also be compiled standalone (``tools/compile_breakdown.py``,
     ``CB_MODE=phases``) where XLA's superlinear optimization passes make
     three small compiles much cheaper than one big one.
+
+    ``het_ltype=True`` swaps the static ``land.ltype`` for the per-column
+    ``params.ltype`` array: every landunit-type branch then lowers to
+    per-column masked selects (mixed soil/ice/wet batches in one domain —
+    beyond the reference's one-LandType-per-domain placeholder,
+    ``land_data.h:5-44``).
 
     ``elm_correct_snow_aging=True`` runs the full Flanner-Zender aging
     with ELM-proper clamping instead of the reference's double-clamp
@@ -184,6 +191,9 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
     step's converged obu/ci (opt-in perf mode: converged physics
     unchanged, iteration counts and last-ulp rounding differ from the
     reference-exact cold-start default)."""
+    if het_ltype:
+        import dataclasses
+        land = dataclasses.replace(land, ltype=params.ltype)
     sfo = surface_phase(land, albveg, snicar, params, state, forcing, phen,
                         dtime, qbot_is_rh=qbot_is_rh,
                         mixed_radiation=mixed_radiation)

@@ -40,18 +40,18 @@ def interception(land: c.LandType, frac_veg_nosno, forc_rain, forc_snow,
     Reference: ``canopy_hydrology_impl.hh:8-67`` (``interception``).
     """
     zero = jnp.zeros_like(forc_rain)
-    if land.lakpoi:
-        return InterceptionOut(h2ocan, zero, zero, zero, zero, zero)
+    passthrough = InterceptionOut(h2ocan, zero, zero, zero, zero, zero)
+    icecase = InterceptionOut(zero, zero, zero, zero, zero, zero)
+    if land.lakpoi or land.is_wall:
+        return passthrough
 
-    if land.ltype in (c.ISTICE, c.ISTICE_MEC):
-        return InterceptionOut(zero, zero, zero, zero, zero, zero)
-
-    soil_like = (land.ltype in (c.ISTSOIL, c.ISTWET, c.ISTCROP)) or land.urbpoi
-    if not soil_like:
-        return InterceptionOut(h2ocan, zero, zero, zero, zero, zero)
-
-    if land.is_wall:
-        return InterceptionOut(h2ocan, zero, zero, zero, zero, zero)
+    ice = c.ltype_mask(land, c.ISTICE, c.ISTICE_MEC)
+    soil_like = c.lor(c.ltype_mask(land, c.ISTSOIL, c.ISTWET, c.ISTCROP),
+                      land.urbpoi)
+    if ice is True:
+        return icecase
+    if ice is False and soil_like is False:
+        return passthrough
 
     total = forc_rain + forc_snow
     active = (frac_veg_nosno == 1) & (total > 0.0)
@@ -73,8 +73,11 @@ def interception(land: c.LandType, frac_veg_nosno, forc_rain, forc_snow,
     qflx_candrip = jnp.where(drip, xrun, 0.0)
     h2ocan_new = jnp.where(drip, h2ocanmx, h2ocan_new)
 
-    return InterceptionOut(h2ocan_new, qflx_candrip, qflx_through_snow,
-                           qflx_through_rain, fracsnow, fracrain)
+    out = InterceptionOut(h2ocan_new, qflx_candrip, qflx_through_snow,
+                          qflx_through_rain, fracsnow, fracrain)
+    # per-column ltype: non-soil-like columns pass through, ice zeroes
+    out = c.lsel(soil_like, out, passthrough)
+    return c.lsel(ice, icecase, out)
 
 
 class GroundFluxOut(NamedTuple):
@@ -272,16 +275,18 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     dz_snowf = jnp.where(cap, 0.0, dz_snowf_nc)
 
     # effective snow fraction
-    if land.ltype in (c.ISTSOIL, c.ISTCROP):
-        frac_sno_eff_new = (frac_sno_new if c.SUBGRIDFLAG == 1
-                            else jnp.ones_like(frac_sno_new))
-    else:
-        frac_sno_eff_new = jnp.ones_like(frac_sno_new)
+    sc = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    ones_f = jnp.ones_like(frac_sno_new)
+    frac_sno_eff_new = c.lsel(
+        sc, frac_sno_new if c.SUBGRIDFLAG == 1 else ones_f, ones_f)
 
-    if land.ltype == c.ISTWET:
+    wet = c.ltype_mask(land, c.ISTWET)
+    if wet is not False:
         warm = t_grnd > c.TFRZ
-        h2osno_new = jnp.where(warm, 0.0, h2osno_new)
-        snow_depth_new = jnp.where(warm, 0.0, snow_depth_new)
+        h2osno_new = c.lsel(wet, jnp.where(warm, 0.0, h2osno_new),
+                            h2osno_new)
+        snow_depth_new = c.lsel(wet, jnp.where(warm, 0.0, snow_depth_new),
+                                snow_depth_new)
 
     # --- initialize first snow layer when accumulation >= 10 mm -------------
     newnode = ((snl == 0) & (qflx_snow_grnd > 0.0)
@@ -333,9 +338,11 @@ def fraction_h2osfc(land: c.LandType, micro_sigma, h2osno, h2osfc,
     snow fraction.  Reference: ``canopy_hydrology_impl.hh:310-357``.
     """
     min_h2osfc = 1.e-8
-    if not (land.ltype in (c.ISTSOIL, c.ISTCROP)):
-        return FractionH2osfcOut(h2osfc, h2osoi_liq, frac_sno, frac_sno_eff,
-                                 jnp.zeros_like(h2osfc))
+    sc = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    passthrough = FractionH2osfcOut(h2osfc, h2osoi_liq, frac_sno,
+                                    frac_sno_eff, jnp.zeros_like(h2osfc))
+    if sc is False:
+        return passthrough
 
     ponded = h2osfc > min_h2osfc
     sigma = 1.0e3 * micro_sigma  # convert to mm
@@ -369,8 +376,9 @@ def fraction_h2osfc(land: c.LandType, micro_sigma, h2osno, h2osfc,
     frac_sno_adj = jnp.where(over, 1.0 - frac_h2osfc_adj, frac_sno)
     frac_sno_eff_adj = jnp.where(over, frac_sno_adj, frac_sno_eff)
 
-    return FractionH2osfcOut(h2osfc_new, h2osoi_liq_new, frac_sno_adj,
-                             frac_sno_eff_adj, frac_h2osfc_adj)
+    return c.lsel(sc, FractionH2osfcOut(h2osfc_new, h2osoi_liq_new,
+                                        frac_sno_adj, frac_sno_eff_adj,
+                                        frac_h2osfc_adj), passthrough)
 
 
 def jax_erf(x):

@@ -71,23 +71,28 @@ def calc_soilalpha(land: c.LandType, frac_sno, frac_h2osfc, h2osoi_liq,
     hr = jnp.ones_like(frac_sno)
     soilalpha = jnp.full_like(frac_sno, c.SPVAL)
 
-    if land.ltype in (c.ISTWET, c.ISTICE, c.ISTICE_MEC):
+    wet_ice = c.ltype_mask(land, c.ISTWET, c.ISTICE, c.ISTICE_MEC)
+    if wet_ice is True:
         return SoilAlphaOut(qred, hr, soilalpha)
+    defaults = SoilAlphaOut(qred, hr, soilalpha)
 
-    if land.ltype in (c.ISTSOIL, c.ISTCROP):
+    sc = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    if sc is not False:
         i0 = c.NLEVSNO
         wx = (h2osoi_liq[:, i0] / c.DENH2O
               + h2osoi_ice[:, i0] / c.DENICE) / dz[:, i0]
         fac = jnp.clip(wx / watsat[:, 0], 0.01, 1.0)
         psit = jnp.maximum(smpmin, -sucsat[:, 0] * fac ** (-bsw[:, 0]))
-        hr = jnp.exp(psit / c.ROVERG / t_soisno[:, i0])
-        qred = (1.0 - frac_sno - frac_h2osfc) * hr + frac_sno + frac_h2osfc
-        soilalpha = qred
+        hr = c.lsel(sc, jnp.exp(psit / c.ROVERG / t_soisno[:, i0]), hr)
+        qred = c.lsel(sc, (1.0 - frac_sno - frac_h2osfc) * hr
+                      + frac_sno + frac_h2osfc, qred)
+        soilalpha = c.lsel(sc, qred, soilalpha)
     elif land.ctype in (c.ICOL_SUNWALL, c.ICOL_SHADEWALL):
         qred = jnp.zeros_like(frac_sno)
     elif land.ctype in (c.ICOL_ROOF, c.ICOL_ROAD_IMPERV):
         qred = jnp.ones_like(frac_sno)
-    return SoilAlphaOut(qred, hr, soilalpha)
+    out = SoilAlphaOut(qred, hr, soilalpha)
+    return c.lsel(wet_ice, defaults, out)
 
 
 def calc_soilbeta(land: c.LandType, frac_sno, frac_h2osfc, watsat, watfc,
@@ -116,7 +121,8 @@ def humidities(land: c.LandType, snl, forc_q, forc_pbot, t_h2osfc, t_grnd,
     unsatisfiable and therefore dropped; the live dew-limit guard on the
     soil branch (``forc_q > hr*qsatg``) is kept.
     """
-    if land.ltype in (c.ISTSOIL, c.ISTCROP):
+    sc = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    if sc is not False:
         top_sno_t = take_layer(t_soisno, c.NLEVSNO - snl)
         qs_snow = qsat(top_sno_t, forc_pbot)
         qg_snow = qs_snow.qs
@@ -141,7 +147,9 @@ def humidities(land: c.LandType, snl, forc_q, forc_pbot, t_h2osfc, t_grnd,
         qg = (frac_sno_eff * qg_snow
               + (1.0 - frac_sno_eff - frac_h2osfc) * qg_soil
               + frac_h2osfc * qg_h2osfc)
-        return HumiditiesOut(qg_snow, qg_soil, qg, qg_h2osfc, dqgdT)
+        soilcase = HumiditiesOut(qg_snow, qg_soil, qg, qg_h2osfc, dqgdT)
+        if sc is True:
+            return soilcase
 
     qs = qsat(t_grnd, forc_pbot)
     qg = qred * qs.qs
@@ -149,7 +157,10 @@ def humidities(land: c.LandType, snl, forc_q, forc_pbot, t_h2osfc, t_grnd,
     dew = (qs.qs > forc_q) & (forc_q > qred * qs.qs)
     qg = jnp.where(dew, forc_q, qg)
     dqgdT = jnp.where(dew, 0.0, dqgdT)
-    return HumiditiesOut(qg, qg, qg, qg, dqgdT)
+    other = HumiditiesOut(qg, qg, qg, qg, dqgdT)
+    if sc is False:
+        return other
+    return c.lsel(sc, soilcase, other)
 
 
 class GroundPropertiesOut(NamedTuple):
@@ -177,10 +188,9 @@ def ground_properties(land: c.LandType, snl, frac_sno, forc_th, forc_q, elai,
     (static) vtype — scalars or [ncol] (the reference indexes trait vectors
     with ``Land.vtype``).
     """
-    if land.ltype in (c.ISTICE, c.ISTICE_MEC):
-        emg = jnp.full_like(frac_sno, 0.97)
-    else:
-        emg = (1.0 - frac_sno) * 0.96 + frac_sno * 0.97
+    ice = c.ltype_mask(land, c.ISTICE, c.ISTICE_MEC)
+    emg = c.lsel(ice, jnp.full_like(frac_sno, 0.97),
+                 (1.0 - frac_sno) * 0.96 + frac_sno * 0.97)
 
     avmuir = 1.0
     emv = 1.0 - jnp.exp(-(elai + esai) / avmuir)
@@ -212,14 +222,18 @@ def forcing_height(land: c.LandType, veg_active, frac_veg_nosno, z0m, z0mg,
 
     Reference: ``canopy_temperature_impl.hh:259-296`` (``forcing_height``).
     """
-    if land.ltype in (c.ISTSOIL, c.ISTCROP):
+    sc = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    wet_ice = c.ltype_mask(land, c.ISTWET, c.ISTICE, c.ISTICE_MEC)
+    if sc is True:
         add = jnp.where(frac_veg_nosno == 0, z0mg + displa, z0m + displa)
-    elif land.ltype in (c.ISTWET, c.ISTICE, c.ISTICE_MEC):
+    elif wet_ice is True:
         add = z0mg
-    elif land.urbpoi:
-        add = jnp.zeros_like(z0mg)  # z_0_town + z_d_town hardwired to 0
+    elif sc is False and wet_ice is False:
+        add = jnp.zeros_like(z0mg)  # urban: z_0_town + z_d_town == 0
     else:
-        add = jnp.zeros_like(z0mg)
+        add = c.lsel(sc, jnp.where(frac_veg_nosno == 0, z0mg + displa,
+                                   z0m + displa),
+                     c.lsel(wet_ice, z0mg, jnp.zeros_like(z0mg)))
     add = jnp.where(veg_active, add, 0.0)
 
     u = forc_hgt_u_patch + add

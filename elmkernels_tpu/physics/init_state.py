@@ -115,12 +115,13 @@ def init_soil_temp(land: c.LandType, snl, ncol, dtype=jnp.float64):
 
     Reference: ``init_soil_state_impl.hh`` (``init_soil_temp``).
     """
-    if land.ltype in (c.ISTICE, c.ISTICE_MEC):
-        t_soil = 250.0
-    elif land.ltype == c.ISTWET:
-        t_soil = 277.0
+    ice = c.ltype_mask(land, c.ISTICE, c.ISTICE_MEC)
+    wet = c.ltype_mask(land, c.ISTWET)
+    if isinstance(ice, bool):
+        t_soil = 250.0 if ice else (277.0 if wet else 274.0)
     else:
-        t_soil = 274.0
+        t_soil = jnp.where(ice, 250.0,
+                           jnp.where(wet, 277.0, 274.0))[:, None]
     lev = jnp.arange(c.NLEVTOT)[None, :]
     snow_active = (lev < _NSNO) & (lev >= (_NSNO - snl)[:, None])
     t = jnp.where(lev >= _NSNO, t_soil, jnp.where(snow_active, 250.0, 0.0))
@@ -136,12 +137,18 @@ def init_soilh2o_state(land: c.LandType, snl, watsat, t_soisno, dz):
     soil/crop path.
     """
     lev_g = jnp.arange(c.NLEVGRND)[None, :]
-    if land.ltype in (c.ISTSOIL, c.ISTCROP):
+    sc = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    wet = c.ltype_mask(land, c.ISTWET)
+    if sc is True:
         vol0 = jnp.where(lev_g >= c.NLEVBED, 0.0, 0.15)
-    elif land.ltype == c.ISTWET:
+    elif wet is True:
         vol0 = jnp.where(lev_g >= c.NLEVBED, 0.0, 1.0)
-    else:
+    elif isinstance(sc, bool) and isinstance(wet, bool):
         vol0 = jnp.ones_like(watsat)
+    else:
+        vol0 = c.lsel(sc, jnp.where(lev_g >= c.NLEVBED, 0.0, 0.15),
+                      c.lsel(wet, jnp.where(lev_g >= c.NLEVBED, 0.0, 1.0),
+                             jnp.ones_like(watsat)))
     h2osoi_vol = jnp.minimum(jnp.broadcast_to(vol0, watsat.shape), watsat)
 
     dz_soil = dz[:, _NSNO:]
@@ -191,9 +198,9 @@ def init_topo_slope(raw_topo_slope):
 
 def init_melt_factor(land: c.LandType, topo_std):
     """Reference: ``init_topography_impl.hh``."""
-    if land.ltype == c.ISTICE_MEC:
-        return jnp.full_like(topo_std, 10.0)
-    return 200.0 / jnp.maximum(10.0, topo_std)
+    icemec = c.ltype_mask(land, c.ISTICE_MEC)
+    return c.lsel(icemec, jnp.full_like(topo_std, 10.0),
+                  200.0 / jnp.maximum(10.0, topo_std))
 
 
 def init_micro_sigma(topo_slope):

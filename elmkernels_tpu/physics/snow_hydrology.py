@@ -294,8 +294,10 @@ def snow_compaction(land: c.LandType, snl, dtime, int_snow, n_melt, frac_sno,
 
     # melt compaction
     melted = imelt[:, :_NSNO] == 1
-    if c.SUBGRIDFLAG == 1 and land.ltype in (c.ISTSOIL, c.ISTCROP):
-        ddz3 = jnp.clip((swe_old - wx) / wx_safe, 0.0, 1.0)
+    sc = (c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+          if c.SUBGRIDFLAG == 1 else False)
+    if sc is not False:
+        ddz3_sc = jnp.clip((swe_old - wx) / wx_safe, 0.0, 1.0)
         wsum = jnp.sum(wx_act, axis=1)[:, None]  # only used at i == top
         shrunk = (swe_old - wx) > 0.0
         int_safe = jnp.where(int_snow != 0.0, int_snow, 1.0)[:, None]
@@ -303,14 +305,17 @@ def snow_compaction(land: c.LandType, snl, dtime, int_snow, n_melt, frac_sno,
             2.0 * jnp.minimum(1.0, jnp.where(lev == top[:, None],
                                              wsum, 0.0) / int_safe) - 1.0)
             / c.ELM_PI) ** n_melt[:, None]
-        ddz3 = ddz3 - jnp.where(
+        ddz3_sc = ddz3_sc - jnp.where(
             shrunk, jnp.maximum(0.0, (fsno_melt - fs) / fs_safe), 0.0)
-        ddz3 = -1.0 / dtime * ddz3
-    else:
+        ddz3_sc = -1.0 / dtime * ddz3_sc
+    if sc is not True:
         fio_safe = jnp.where(frac_iceold[:, :_NSNO] != 0.0,
                              frac_iceold[:, :_NSNO], 1.0)
-        ddz3 = (-1.0 / dtime
-                * jnp.maximum(0.0, (frac_iceold[:, :_NSNO] - fi) / fio_safe))
+        ddz3_ns = (-1.0 / dtime
+                   * jnp.maximum(0.0,
+                                 (frac_iceold[:, :_NSNO] - fi) / fio_safe))
+    ddz3 = (ddz3_sc if sc is True else
+            ddz3_ns if sc is False else c.lsel(sc, ddz3_sc, ddz3_ns))
     ddz3 = jnp.where(melted, ddz3, 0.0)
 
     pdzdtc = ddz1 + ddz2 + ddz3
@@ -380,7 +385,16 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
     positions with per-column masks and live ``snl``.
     """
     dzmin = jnp.array([0.010, 0.015, 0.025, 0.055, 0.115])
-    soil_like = (land.ltype in (c.ISTSOIL, c.ISTCROP)) or land.urbpoi
+    soil_like = c.lor(c.ltype_mask(land, c.ISTSOIL, c.ISTCROP), land.urbpoi)
+
+    def sl_and(m):
+        """Restrict a per-column condition to soil-like columns (folds to
+        ``m`` / None for a static soil-like / non-soil-like domain)."""
+        if soil_like is True:
+            return m
+        if soil_like is False:
+            return None
+        return m & soil_like
 
     snl = st.snl
     t, ice, liq = st.t, st.ice, st.liq
@@ -404,15 +418,16 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
         m = (i >= top_old) & (ice_i <= 0.01)
         last = i == _NSNO - 1
         # merge mass into the layer below (soil-like land units always)
-        if soil_like:
-            liq = jnp.where((lev20 == i + 1) & m[:, None],
+        msl = sl_and(m)
+        if msl is not None:
+            liq = jnp.where((lev20 == i + 1) & msl[:, None],
                             liq + liq_i[:, None], liq)
-            ice = jnp.where((lev20 == i + 1) & m[:, None],
+            ice = jnp.where((lev20 == i + 1) & msl[:, None],
                             ice + ice_i[:, None], ice)
-            q = jnp.where(m & last, (liq_i + ice_i) / dtime, 0.0)
-            qflx_sl = jnp.where(m & last, q, qflx_sl)
+            q = jnp.where(msl & last, (liq_i + ice_i) / dtime, 0.0)
+            qflx_sl = jnp.where(msl & last, q, qflx_sl)
             mflx = mflx + q
-            grow = m & ~last
+            grow = msl & ~last
             dz = jnp.where((lev20 == i + 1) & grow[:, None],
                            dz + jnp.take(dz, i, axis=1)[:, None], dz)
             mss = {k: jnp.where((lev5 == i + 1) & grow[:, None],
@@ -457,12 +472,13 @@ def combine_layers(land: c.LandType, dtime, st: SnowState, h2osno,
     for k in mss:
         mss[k] = jnp.where(gone[:, None], 0.0, mss[k])
     snow_depth_n = jnp.where(gone & (h2osno_n <= 0.0), 0.0, snow_depth_n)
-    if soil_like:
+    gsl = sl_and(gone)
+    if gsl is not None:
         liq = liq.at[:, _NSNO - 1].set(
-            jnp.where(gone, 0.0, liq[:, _NSNO - 1]))
-        liq = liq.at[:, _NSNO].add(jnp.where(gone, zwliq, 0.0))
-        qflx_snow2topsoi = jnp.where(gone, zwliq / dtime, qflx_snow2topsoi)
-        mflx_snowlyr_col = mflx_snowlyr_col + jnp.where(gone, zwliq / dtime,
+            jnp.where(gsl, 0.0, liq[:, _NSNO - 1]))
+        liq = liq.at[:, _NSNO].add(jnp.where(gsl, zwliq, 0.0))
+        qflx_snow2topsoi = jnp.where(gsl, zwliq / dtime, qflx_snow2topsoi)
+        mflx_snowlyr_col = mflx_snowlyr_col + jnp.where(gsl, zwliq / dtime,
                                                         0.0)
 
     none_left = h2osno_n <= 0.0

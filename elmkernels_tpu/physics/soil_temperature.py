@@ -515,12 +515,14 @@ def phase_change_soisno(land: c.LandType, snl, dtime, dhsdT, frac_h2osfc,
     imelt = jnp.where(melt, 1, 0)
 
     # supercooled water content for soil layers (Zhao 1997, Koren 1999)
-    if land.ltype in (c.ISTSOIL, c.ISTCROP):
+    scmask = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    if scmask is not False:
         t_soil = t_soisno[:, nsno:]
         smp = (c.HFUS * (c.TFRZ - t_soil) / (c.GRAV * t_soil) * 1000.0)
         sc = (watsat * jnp.maximum(smp / sucsat, 1e-300)
               ** (-1.0 / bsw) * dz[:, nsno:] * 1000.0)
-        supercool = jnp.where(t_soil < c.TFRZ, sc, 0.0)
+        supercool = c.lsel(scmask, jnp.where(t_soil < c.TFRZ, sc, 0.0),
+                           jnp.zeros_like(watsat))
     else:
         supercool = jnp.zeros_like(watsat)
     supercool_full = jnp.concatenate(

@@ -32,12 +32,14 @@ def calc_soil_tk(land: c.LandType, h2osoi_liq, h2osoi_ice, t_soisno, dz,
     liq, ice = h2osoi_liq[:, i0:], h2osoi_ice[:, i0:]
     t, dzs = t_soisno[:, i0:], dz[:, i0:]
 
-    if land.ltype in (c.ISTICE, c.ISTICE_MEC):
+    icem = c.ltype_mask(land, c.ISTICE, c.ISTICE_MEC)
+    wetm = c.ltype_mask(land, c.ISTWET)
+    if icem is True:
         return jnp.where(t < c.TFRZ, TKICE, TKWAT)
 
     lev = jnp.arange(c.NLEVGRND)
     bedrock = lev[None, :] >= c.NLEVBED
-    if land.ltype == c.ISTWET:
+    if wetm is True:
         thk = jnp.where(t < c.TFRZ, TKICE, TKWAT)
         return jnp.where(bedrock, TKBDRK, thk)
 
@@ -52,7 +54,12 @@ def calc_soil_tk(land: c.LandType, h2osoi_liq, h2osoi_ice, t_soisno, dz,
     fl = safe_div(liq / (c.DENH2O * dzs), tot, tot > 0.0)
     dksat = (tkmg * TKWAT ** (fl * watsat) * TKICE ** ((1.0 - fl) * watsat))
     thk = jnp.where(wet, dke * dksat + (1.0 - dke) * tkdry, tkdry)
-    return jnp.where(bedrock, TKBDRK, thk)
+    thk = jnp.where(bedrock, TKBDRK, thk)
+    if icem is False and wetm is False:
+        return thk
+    icewat = jnp.where(t < c.TFRZ, TKICE, TKWAT)
+    return c.lsel(icem, icewat,
+                  c.lsel(wetm, jnp.where(bedrock, TKBDRK, icewat), thk))
 
 
 def calc_snow_tk(snl, frac_sno, h2osoi_liq, h2osoi_ice, dz):
@@ -97,13 +104,21 @@ def calc_soil_heat_capacity(land: c.LandType, snl, h2osno, watsat,
     i0 = c.NLEVSNO
     ice, liq, dzs = h2osoi_ice[:, i0:], h2osoi_liq[:, i0:], dz[:, i0:]
     lev = jnp.arange(c.NLEVGRND)
-    if land.ltype in (c.ISTICE, c.ISTICE_MEC):
+    icem = c.ltype_mask(land, c.ISTICE, c.ISTICE_MEC)
+    wetm = c.ltype_mask(land, c.ISTWET)
+    if icem is True:
         cv = ice * c.CPICE + liq * c.CPWAT
-    elif land.ltype == c.ISTWET:
+    elif wetm is True:
         cv = ice * c.CPICE + liq * c.CPWAT
         cv = jnp.where(lev[None, :] >= c.NLEVBED, csol * dzs, cv)
-    else:
+    elif isinstance(icem, bool) and isinstance(wetm, bool):
         cv = (csol * (1.0 - watsat) * dzs + ice * c.CPICE + liq * c.CPWAT)
+    else:
+        cv_ice = ice * c.CPICE + liq * c.CPWAT
+        cv_wet = jnp.where(lev[None, :] >= c.NLEVBED, csol * dzs, cv_ice)
+        cv_soil = (csol * (1.0 - watsat) * dzs + ice * c.CPICE
+                   + liq * c.CPWAT)
+        cv = c.lsel(icem, cv_ice, c.lsel(wetm, cv_wet, cv_soil))
     # thin snow on bare ground adds its heat capacity to the top soil layer
     add = ((snl == 0) & (h2osno > 0.0))[:, None] & (lev[None, :] == 0)
     return cv + jnp.where(add, c.CPICE * h2osno[:, None], 0.0)

@@ -90,14 +90,17 @@ def soil_albedo(land: c.LandType, snl, t_grnd, coszen, h2osoi_vol, albsat,
     calb = 95.6
 
     lit = (coszen > 0.0)[:, None]
-    if land.ltype in (c.ISTSOIL, c.ISTCROP):
+    sc = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    icem = c.ltype_mask(land, c.ISTICE, c.ISTICE_MEC)
+    lakem = c.ltype_mask(land, c.ISTDLAK)
+    if sc is True:
         inc = jnp.maximum(0.11 - 0.40 * h2osoi_vol[:, 0], 0.0)
         albsod = jnp.minimum(albsat + inc[:, None], albdry)
         albsoi = albsod
-    elif land.ltype in (c.ISTICE, c.ISTICE_MEC):
+    elif icem is True:
         albsod = jnp.broadcast_to(albice, albsat.shape)
         albsoi = albsod
-    elif land.ltype == c.ISTDLAK:
+    elif lakem is True:
         sicefr = 1.0 - jnp.exp(-calb * (c.TFRZ - t_grnd) / c.TFRZ)
         sod = (sicefr[:, None] * alblak
                + (1.0 - sicefr)[:, None]
@@ -109,9 +112,31 @@ def soil_albedo(land: c.LandType, snl, t_grnd, coszen, h2osoi_vol, albsat,
         frozen = (snl == 0)[:, None]
         albsod = jnp.where(frozen, sod, jnp.broadcast_to(alblak, sod.shape))
         albsoi = jnp.where(frozen, soi, albsod)
-    else:  # wetland
+    elif sc is False and icem is False and lakem is False:  # wetland
         albsod = jnp.broadcast_to(alblak, albsat.shape)
         albsoi = albsod
+    else:  # per-column ltype: select among the four surfaces
+        inc = jnp.maximum(0.11 - 0.40 * h2osoi_vol[:, 0], 0.0)
+        sod_sc = jnp.minimum(albsat + inc[:, None], albdry)
+        sod_ice = jnp.broadcast_to(albice, albsat.shape)
+        sicefr = 1.0 - jnp.exp(-calb * (c.TFRZ - t_grnd) / c.TFRZ)
+        sod_l = (sicefr[:, None] * alblak
+                 + (1.0 - sicefr)[:, None]
+                 * jnp.maximum(alblakwi,
+                               0.05 / (jnp.maximum(0.001, coszen)[:, None]
+                                       + 0.15)))
+        soi_l = (sicefr[:, None] * alblak
+                 + (1.0 - sicefr)[:, None] * jnp.maximum(alblakwi, 0.10))
+        frozen = (snl == 0)[:, None]
+        alblak_b = jnp.broadcast_to(alblak, albsat.shape)
+        sod_lake = jnp.where(frozen, sod_l, alblak_b)
+        soi_lake = jnp.where(frozen, soi_l, sod_lake)
+        albsod = c.lsel(sc, sod_sc,
+                        c.lsel(icem, sod_ice,
+                               c.lsel(lakem, sod_lake, alblak_b)))
+        albsoi = c.lsel(sc, sod_sc,
+                        c.lsel(icem, sod_ice,
+                               c.lsel(lakem, soi_lake, alblak_b)))
     zero = jnp.zeros_like(albsod)
     return SoilAlbedoOut(jnp.where(lit, albsod, zero),
                          jnp.where(lit, albsoi, zero))
@@ -153,20 +178,29 @@ def flux_absorption_factor(land: c.LandType, coszen, frac_sno, albsod,
     """
     lit = (coszen > 0.0)[:, None]
 
-    if c.SUBGRIDFLAG == 0 or land.ltype == c.ISTDLAK:
+    lakem = (True if c.SUBGRIDFLAG == 0
+             else c.ltype_mask(land, c.ISTDLAK))
+    if lakem is not False:
         fs = frac_sno[:, None]
         def wgt(flx, albsfc, albsnow):
             return (flx * fs + (1.0 - fs) * (1.0 - albsfc)
                     * safe_div(flx, 1.0 - albsnow, albsnow != 1.0))
-        dv = wgt(flx_absd_snw[:, :, 0], albsod[:, 0:1], albsnd[:, 0:1])
-        dn = wgt(flx_absd_snw[:, :, 1], albsod[:, 1:2], albsnd[:, 1:2])
-        iv = wgt(flx_absi_snw[:, :, 0], albsoi[:, 0:1], albsni[:, 0:1])
-        inn = wgt(flx_absi_snw[:, :, 1], albsoi[:, 1:2], albsni[:, 1:2])
+        dv_l = wgt(flx_absd_snw[:, :, 0], albsod[:, 0:1], albsnd[:, 0:1])
+        dn_l = wgt(flx_absd_snw[:, :, 1], albsod[:, 1:2], albsnd[:, 1:2])
+        iv_l = wgt(flx_absi_snw[:, :, 0], albsoi[:, 0:1], albsni[:, 0:1])
+        inn_l = wgt(flx_absi_snw[:, :, 1], albsoi[:, 1:2], albsni[:, 1:2])
+    if lakem is not True:
+        dv_s = flx_absd_snw[:, :, 0] * (1.0 - albsnd[:, 0:1])
+        dn_s = flx_absd_snw[:, :, 1] * (1.0 - albsnd[:, 1:2])
+        iv_s = flx_absi_snw[:, :, 0] * (1.0 - albsni[:, 0:1])
+        inn_s = flx_absi_snw[:, :, 1] * (1.0 - albsni[:, 1:2])
+    if lakem is True:
+        dv, dn, iv, inn = dv_l, dn_l, iv_l, inn_l
+    elif lakem is False:
+        dv, dn, iv, inn = dv_s, dn_s, iv_s, inn_s
     else:
-        dv = flx_absd_snw[:, :, 0] * (1.0 - albsnd[:, 0:1])
-        dn = flx_absd_snw[:, :, 1] * (1.0 - albsnd[:, 1:2])
-        iv = flx_absi_snw[:, :, 0] * (1.0 - albsni[:, 0:1])
-        inn = flx_absi_snw[:, :, 1] * (1.0 - albsni[:, 1:2])
+        dv, dn, iv, inn = c.lsel(lakem, (dv_l, dn_l, iv_l, inn_l),
+                                 (dv_s, dn_s, iv_s, inn_s))
     zero = jnp.zeros_like(dv)
     return FluxAbsorptionOut(jnp.where(lit, dv, zero),
                              jnp.where(lit, dn, zero),
@@ -237,10 +271,13 @@ def two_stream_solver(land: c.LandType, nrad, coszen, t_veg, fwet, elai,
     betads = 0.5
     betais = 0.5
 
-    if land.urbpoi or not (land.ltype in (c.ISTSOIL, c.ISTCROP)):
+    sc = c.ltype_mask(land, c.ISTSOIL, c.ISTCROP)
+    if land.urbpoi or sc is False:
         veg = jnp.zeros_like(coszen, dtype=bool)
-    else:
+    elif sc is True:
         veg = (coszen > 0.0) & ((elai + esai) > 0.0)
+    else:
+        veg = sc & (coszen > 0.0) & ((elai + esai) > 0.0)
     noveg = (coszen > 0.0) & ~veg
     dark = ~(veg | noveg)
 
