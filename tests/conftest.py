@@ -30,6 +30,23 @@ import pathlib
 
 import pytest
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    Every XLA:CPU executable JIT-maps thousands of anonymous code
+    segments (one r--/rw-/r-x triple per fused kernel); the in-process
+    pjit cache keeps every variant alive, so a full-suite process
+    accumulates ~65k mappings and dies on vm.max_map_count (observed:
+    SIGABRT inside XLA compile / cache serialize at ~75% of the suite).
+    Clearing between modules caps the concurrent map count; the
+    persistent on-disk cache makes later reloads cheap.
+    """
+    yield
+    jax.clear_caches()
+
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REF_DATA = pathlib.Path("/root/reference/test/data")
 TEST_DATA = REPO / "tests" / "data"

@@ -61,6 +61,11 @@ def test_driver_hundred_steps_conservation(model):
     errseb = np.asarray(errs["errseb"])
     assert np.max(np.abs(errseb)) < 300.0
     assert abs(errseb[-1]).max() < 60.0
+    # the blanket bound above covers cold-start/snow-event transients
+    # only; in steady operation the linearization residual is O(0.1)
+    # W/m2, so the run's median must stay small — a real ~10 W/m2
+    # energy bug cannot hide under the transient bound
+    assert np.median(np.abs(errseb[20:])) < 5.0
 
     # all columns identical inputs -> identical state
     h = np.asarray(state.h2osno)

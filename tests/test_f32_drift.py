@@ -18,7 +18,9 @@ import pytest
 
 ROOT = Path(__file__).resolve().parents[1]
 STEPS = 720          # 15 days from Jan 1; final state carries snl == 3
-WINDOW = 240
+WINDOW = 240         # (shorter runs end near layer-creation boundaries
+#                      where f32 rounding legitimately shifts the step a
+#                      layer forms, breaking the snl-identical assert)
 
 
 @pytest.fixture(scope="module")

@@ -23,7 +23,10 @@ NSTEP = 24  # half a day: crosses night -> day under synthetic forcing
 
 def _run(vtype, ncol, nsteps=NSTEP):
     m = Model(ncol=ncol, vtype=vtype)
-    m.run(Date(1985, 1, 1), nsteps)
+    # run_scan is bit-identical to the per-step loop
+    # (test_scan_driver.test_scan_matches_loop) and ~10x cheaper on the
+    # CPU suite (one dispatch per run instead of per step)
+    m.run_scan(Date(1985, 1, 1), nsteps)
     return m
 
 

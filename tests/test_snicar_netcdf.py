@@ -132,11 +132,12 @@ def test_optics_feed_model_identical(tmp_path, text_tables):
     phen = jax.tree.map(np.asarray, m.phenology.window(
         Date.from_ymd(1985, 1, 5)))
     from elmkernels_tpu.driver import step as step_mod
-    out_txt = step_mod.advance(m.land, m.psnveg, m.albveg, m.snicar,
-                               m.params, m.state, forc, phen, m.dtime)
-    out_nc = step_mod.advance(m.land, m.psnveg, m.albveg, rt._replace(
+    step = jax.jit(lambda sn, st, f, p: step_mod.advance(
+        m.land, m.psnveg, m.albveg, sn, m.params, st, f, p, m.dtime))
+    out_txt = step(m.snicar, m.state, forc, phen)
+    out_nc = step(rt._replace(
         **{f: getattr(m.snicar, f) for f in m.snicar._fields
-           if f.endswith("_bc2")}), m.params, m.state, forc, phen, m.dtime)
+           if f.endswith("_bc2")}), m.state, forc, phen)
     np.testing.assert_array_equal(np.asarray(out_txt[0].t_grnd),
                                   np.asarray(out_nc[0].t_grnd))
     np.testing.assert_array_equal(np.asarray(out_txt[1].fsa),
