@@ -1,6 +1,6 @@
 """ELMKernels-TPU: a TPU-native land-surface physics framework.
 
-A from-scratch JAX/XLA/Pallas rebuild of the capabilities of CANGA/ELMKernels
+A from-scratch JAX/XLA rebuild of the capabilities of CANGA/ELMKernels
 (E3SM Land Model physics kernels): the full land-surface water and energy
 cycle for batches of independent soil columns, built batch-first so every
 kernel operates on ``[ncol, ...]`` arrays and shards the column axis over a
@@ -19,7 +19,8 @@ Layout (mirrors the reference's layer map, SURVEY.md §1):
 - :mod:`elmkernels_tpu.driver` — the jitted ``advance`` step + model API
   (reference: ``driver/kokkos/*``).
 - :mod:`elmkernels_tpu.parallel` — mesh/sharding helpers (replaces MPI).
-- :mod:`elmkernels_tpu.ops` — Pallas TPU kernels for hot paths.
+- :mod:`elmkernels_tpu.ops` — custom-kernel slot (currently empty: the
+  production solvers are pure XLA; see the module docstring).
 """
 
 __version__ = "0.1.0"
