@@ -362,19 +362,14 @@ class Model:
         return last
 
     def stack_windows(self, start: Date, nsteps: int):
-        """Host-assemble [nsteps]-stacked forcing/phenology pytrees."""
-        date = start.copy()
-        forcs, phens = [], []
-        for _ in range(nsteps):
-            forcs.append(self._attach_aero(
-                self.forcing.window(date, self.dtime), date))
-            phens.append(self.phenology.window(date))
-            date.increment_seconds(int(self.dtime))
+        """Host-assemble [nsteps]-stacked forcing/phenology pytrees.
 
-        def stack(ws):
-            return jax.tree.map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *ws)
-        return stack(forcs), stack(phens)
+        Delegates to :meth:`host_windows` (numpy, strong dtypes) so the
+        stacks carry EXACTLY the same avals as ``run_windows``'s ingest
+        path — ``run_scan`` and ``run_windows`` then share one compiled
+        executable instead of compiling weak-vs-strong-typed twins."""
+        forcs, phens = self.host_windows(start, nsteps)
+        return jax.tree.map(jnp.asarray, (forcs, phens))
 
     def run_scan(self, start: Date, nsteps: int) -> ScanDiagnostics:
         """Advance ``nsteps`` inside one ``lax.scan`` executable; mutates
