@@ -26,6 +26,8 @@ Environment knobs:
   BENCH_WARM   1: warm-start the canopy/ci solvers from the previous
                step's converged obu/ci (opt-in perf mode; default 0 =
                reference-exact cold-start iteration counts)
+  BENCH_MIXED_CANOPY 1: f32 canopy stability-loop interior with f64
+               prognostic handoff (opt-in; default 0)
   BENCH_HETERO 1: heterogeneous global-style grid — per-column lat
                (55S..70N), lon, soil color/texture, and a 4-PFT mix
                (compiles the mixed C3/C4 pathway); default 0 =
@@ -63,6 +65,7 @@ def main():
     # reference-exact pure-f64 opt-out (Model(mixed_radiation=False)).
     mixed = os.environ.get("BENCH_MIXED", "1") == "1"
     warm = os.environ.get("BENCH_WARM", "0") == "1"
+    mixed_can = os.environ.get("BENCH_MIXED_CANOPY", "0") == "1"
 
     import jax.numpy as jnp
     import numpy as np
@@ -112,6 +115,7 @@ def main():
                                          params, st, f, p, dtime,
                                          mixed_radiation=mixed,
                                          warm_start=warm,
+                                         mixed_canopy=mixed_can,
                                          psn_mode=psn_mode)
                 return st, jnp.abs(d.errsol).max()
             return jax.lax.scan(body, state, (forc, phen))
@@ -121,7 +125,9 @@ def main():
             st, d = step_mod.advance(land, pv, av, snicar, params,
                                      state, forc, phen, dtime,
                                      mixed_radiation=mixed,
-                                     warm_start=warm, psn_mode=psn_mode)
+                                     warm_start=warm,
+                                     mixed_canopy=mixed_can,
+                                     psn_mode=psn_mode)
             return st, jnp.abs(d.errsol).max()
         steps_per_call = 1
 
@@ -154,7 +160,8 @@ def main():
           f"dtype={'f32' if f32 else 'f64'} "
           f"mode={'scan' if use_scan else 'dispatch'}x{steps_per_call}"
           f"{' mixed-radiation' if mixed else ''}"
-          f"{' warm-start' if warm else ''}",
+          f"{' warm-start' if warm else ''}"
+          f"{' mixed-canopy' if mixed_can else ''}",
           file=sys.stderr)
 
     def window(state, ncalls):

@@ -64,6 +64,9 @@ class RunConfig:
     # step's converged obu/ci (opt-in: changes iteration counts, so the
     # reference-exact default is off)
     warm_start: bool = False
+    # f32 canopy stability-loop interior with f64 prognostic handoff
+    # (opt-in perf mode; drift-tested)
+    mixed_canopy: bool = False
     # pin the JAX backend (e.g. "cpu"); None = default device. The axon
     # site config overrides the JAX_PLATFORMS env var, so this must be
     # applied via jax.config after import.
@@ -96,7 +99,8 @@ class RunConfig:
                                       self.elm_correct_snow_aging),
                                   elm_correct_seb=self.elm_correct_seb,
                                   mixed_radiation=self.mixed_radiation,
-                                  warm_start=self.warm_start)
+                                  warm_start=self.warm_start,
+                                  mixed_canopy=self.mixed_canopy)
         if self.surfdata_path is not None:
             return Model.from_surfdata(self.surfdata_path, self.ncol, **kw)
         return Model(ncol=self.ncol, vtype=self.vtype,

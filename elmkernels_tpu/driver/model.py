@@ -28,11 +28,11 @@ DEFAULT_PFT_PATH = "/root/reference/test/data/clm_params_c180524.nc"
 DEFAULT_SNICAR_PATH = "/root/reference/test/data/SnowOptics_IN.txt"
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
-                   donate_argnums=(13,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+                   donate_argnums=(14,))
 def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 seb_fix, warm, het_lt, snicar, params, psnveg, albveg,
-                 state, forc, phen):
+                 seb_fix, warm, het_lt, mixed_can, snicar, params, psnveg,
+                 albveg, state, forc, phen):
     """Shared jitted step; land/dtime/flags/psn_mode are static, PFT
     traits are traced data (scalars for a homogeneous domain, [ncol]
     arrays for per-column vegetation), so all Model instances with the
@@ -43,7 +43,7 @@ def _jitted_step(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                             psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
                             mixed_radiation=mixed_rad,
                             elm_correct_seb=seb_fix, warm_start=warm,
-                            het_ltype=het_lt)
+                            het_ltype=het_lt, mixed_canopy=mixed_can)
 
 
 class ScanDiagnostics(NamedTuple):
@@ -65,11 +65,11 @@ class ScanDiagnostics(NamedTuple):
     niters_ci_mean: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
-                   donate_argnums=(13,))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+                   donate_argnums=(14,))
 def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 seb_fix, warm, het_lt, snicar, params, psnveg, albveg,
-                 state, forc_stack, phen_stack):
+                 seb_fix, warm, het_lt, mixed_can, snicar, params, psnveg,
+                 albveg, state, forc_stack, phen_stack):
     """K timesteps inside ONE executable via ``lax.scan`` — amortizes
     dispatch (the dominant cost at small batch on a remote-tunnel
     backend) and lets XLA overlap steps' epilogue/prologue.  The
@@ -83,7 +83,7 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                                  psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
                                  mixed_radiation=mixed_rad,
                                  elm_correct_seb=seb_fix, warm_start=warm,
-                                 het_ltype=het_lt)
+                                 het_ltype=het_lt, mixed_canopy=mixed_can)
         out = ScanDiagnostics(
             errh2o_max=jnp.abs(d.errh2o).max(),
             errh2o_led_max=jnp.abs(d.errh2o_led).max(),
@@ -171,6 +171,10 @@ class Model:
     # unchanged, iteration counts — and hence last-ulp rounding — differ
     # from the reference-exact cold-start default)
     warm_start: bool = False
+    # run the canopy stability-loop interior in f32 with f64 prognostic
+    # handoff (opt-in perf mode; the roofline-named 1.2 ms/step hotspot
+    # — see BASELINE.md roofline r3; drift-tested)
+    mixed_canopy: bool = False
 
     def __post_init__(self):
         vt = np.asarray(self.vtype, np.int32)
@@ -255,7 +259,7 @@ class Model:
             self.elm_correct_snow_aging, self.psn_mode,
             getattr(self.forcing, "qbot_is_rh", False),
             self.mixed_radiation, self.elm_correct_seb, self.warm_start,
-            self.het_ltype)
+            self.het_ltype, self.mixed_canopy)
 
     def _ltype_cold_start(self, state):
         """Re-derive the cold-start temperature/water profiles for
@@ -379,8 +383,8 @@ class Model:
             self.land, self.dtime, self.elm_correct_snow_aging,
             self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
             self.mixed_radiation, self.elm_correct_seb, self.warm_start,
-            self.het_ltype, self.snicar, self.params, self.psnveg,
-            self.albveg, self.state, forc_stack, phen_stack)
+            self.het_ltype, self.mixed_canopy, self.snicar, self.params,
+            self.psnveg, self.albveg, self.state, forc_stack, phen_stack)
         return diags
 
     def host_windows(self, start: Date, nsteps: int):
@@ -454,9 +458,9 @@ class Model:
                     self.psn_mode,
                     getattr(self.forcing, "qbot_is_rh", False),
                     self.mixed_radiation, self.elm_correct_seb,
-                    self.warm_start, self.het_ltype, self.snicar,
-                    self.params, self.psnveg, self.albveg, self.state,
-                    forc, phen)
+                    self.warm_start, self.het_ltype, self.mixed_canopy,
+                    self.snicar, self.params, self.psnveg, self.albveg,
+                    self.state, forc, phen)
                 diags_all.append(d)
                 if callback is not None:
                     callback(date, self.state, d)

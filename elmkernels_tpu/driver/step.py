@@ -166,7 +166,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
             mixed_radiation: bool = False,
             elm_correct_seb: bool = False,
             warm_start: bool = False,
-            het_ltype: bool = False
+            het_ltype: bool = False,
+            mixed_canopy: bool = False
             ) -> tuple[ModelState, StepDiagnostics]:
     """One dtime step.  Pure function of (state, forcing) — jit/pjit it.
 
@@ -198,7 +199,8 @@ def advance(land: c.LandType, psnveg: psn.PFTPsnParams,
                         dtime, qbot_is_rh=qbot_is_rh,
                         mixed_radiation=mixed_radiation)
     fl = flux_phase(land, psnveg, params, state, sfo, dtime,
-                    psn_mode=psn_mode, warm_start=warm_start)
+                    psn_mode=psn_mode, warm_start=warm_start,
+                    mixed_canopy=mixed_canopy)
     return column_phase(land, params, state, forcing, sfo, fl, dtime,
                         elm_correct_snow_aging=elm_correct_snow_aging,
                         elm_correct_seb=elm_correct_seb)
@@ -413,7 +415,8 @@ def surface_phase(land: c.LandType, albveg: sa.PFTAlbParams,
 def flux_phase(land: c.LandType, psnveg: psn.PFTPsnParams,
                params: ModelParams, state: ModelState, sfo: _SurfaceOut,
                dtime: float, psn_mode: str | None = None,
-               warm_start: bool = False) -> _FluxOut:
+               warm_start: bool = False,
+               mixed_canopy: bool = False) -> _FluxOut:
     """Bareground + canopy Monin-Obukhov flux iterations (the
     photosynthesis-bearing while loops)."""
     s = state
@@ -474,21 +477,61 @@ def flux_phase(land: c.LandType, psnveg: psn.PFTPsnParams,
         ok = (s.obu_can != 0.0) & jnp.isfinite(s.obu_can)
         obu0 = jnp.where(ok, s.obu_can, cf_init.obu)
         ci_prev = jnp.concatenate([s.ci_sun, s.ci_sha])
+
+    # mixed_canopy (opt-in): run the stability-loop interior — the
+    # profile's 1.2 ms/step emulated-f64 hotspot (BASELINE.md roofline
+    # r3) — in f32, handing converged fluxes/t_veg back to the f64 step.
+    # The loop's own convergence thresholds (0.01 K / 0.1 W/m2) are far
+    # above f32 roundoff, and the full-f32 configuration's 15-day drift
+    # bounds (tests/test_f32_drift.py) bound this subset's risk; the
+    # ledger stays exact because the step debits the same (upcast)
+    # fluxes it charges.  Drift-tested in tests/test_mixed_canopy.py.
+    wdt2 = t_grnd.dtype
+
+    def _to2(tree, dt):
+        return jax.tree.map(
+            lambda a: a.astype(dt) if (hasattr(a, "dtype")
+                                       and a.dtype.kind == "f") else a,
+            tree)
+    stab_args = (psnveg, frac_sno,
+                 fhgt.forc_hgt_u_patch, fhgt.forc_hgt_t_patch,
+                 fhgt.forc_hgt_q_patch, fwet, fdry, sun.laisun, sun.laisha,
+                 forc_rho, snow_depth, soilbeta, frac_h2osfc, s.t_h2osfc,
+                 tot.sabv, h2ocan, htop, t_soisno, cf_init.air, cf_init.bir,
+                 cf_init.cir, cf_init.ur, cf_init.zldis, cf_init.displa,
+                 elai, esai, t_grnd, forc_pbot, forc_q, forc_th, gp.z0mg,
+                 cf_init.z0mv, cf_init.z0hv, cf_init.z0qv, thm, gp.thv,
+                 hum.qg, s.t10, can.tlai_z, ts.vcmaxcintsha,
+                 ts.vcmaxcintsun, sun.parsha_z, sun.parsun_z, sun.laisha_z,
+                 sun.laisun_z, forc_pco2, forc_po2, cf_init.dayl_factor,
+                 cf_init.btran, cf_init.el, cf_init.qsatl, cf_init.qsatldT,
+                 cf_init.taf, cf_init.qaf, cf_init.um, obu0, cf_init.delq,
+                 cf_init.t_veg, ci_prev)
+    if mixed_canopy and wdt2 == jnp.float64:
+        stab_args = _to2(stab_args, jnp.float32)
+    (pv2, frac_sno2, hgt_u2, hgt_t2, hgt_q2, fwet2, fdry2, laisun2,
+     laisha2, rho2, sd2, beta2, fh2o2, th2o2, sabv2, h2ocan2, htop2,
+     tsoi2, air2, bir2, cir2, ur2, zldis2, displa2, elai2, esai2, tg2,
+     pbot2, q2, th2, z0mg2, z0mv2, z0hv2, z0qv2, thm2, thv2, qg2, t102,
+     tlaiz2, vcsha2, vcsun2, parsha2, parsun2, lshaz2, lsunz2, pco22,
+     po22, daylf2, btran2, el2, qsatl2, qsatldT2, taf2, qaf2, um2, obu2,
+     delq2, tveg02, ci_prev2) = stab_args
     cf_stab = cfx.stability_iteration(
-        land, psnveg, dtime, snl, frac_veg_nosno, frac_sno,
-        fhgt.forc_hgt_u_patch, fhgt.forc_hgt_t_patch,
-        fhgt.forc_hgt_q_patch, fwet, fdry, sun.laisun, sun.laisha,
-        forc_rho, snow_depth, soilbeta, frac_h2osfc, s.t_h2osfc, tot.sabv,
-        h2ocan, htop, t_soisno, cf_init.air, cf_init.bir, cf_init.cir,
-        cf_init.ur, cf_init.zldis, cf_init.displa, elai, esai, t_grnd,
-        forc_pbot, forc_q, forc_th, gp.z0mg, cf_init.z0mv, cf_init.z0hv,
-        cf_init.z0qv, thm, gp.thv, hum.qg, can.nrad, s.t10, can.tlai_z,
-        ts.vcmaxcintsha, ts.vcmaxcintsun, sun.parsha_z, sun.parsun_z,
-        sun.laisha_z, sun.laisun_z, forc_pco2, forc_po2,
-        cf_init.dayl_factor, cf_init.btran, cf_init.el, cf_init.qsatl,
-        cf_init.qsatldT, cf_init.taf, cf_init.qaf, cf_init.um, obu0,
-        cf_init.delq, cf_init.t_veg, psn_mode=psn_mode, soybean=soybean,
-        warm_start=warm_start, ci_prev=ci_prev)
+        land, pv2, dtime, snl, frac_veg_nosno, frac_sno2,
+        hgt_u2, hgt_t2, hgt_q2, fwet2, fdry2, laisun2, laisha2,
+        rho2, sd2, beta2, fh2o2, th2o2, sabv2,
+        h2ocan2, htop2, tsoi2, air2, bir2, cir2,
+        ur2, zldis2, displa2, elai2, esai2, tg2,
+        pbot2, q2, th2, z0mg2, z0mv2, z0hv2,
+        z0qv2, thm2, thv2, qg2, can.nrad, t102, tlaiz2,
+        vcsha2, vcsun2, parsha2, parsun2,
+        lshaz2, lsunz2, pco22, po22,
+        daylf2, btran2, el2, qsatl2,
+        qsatldT2, taf2, qaf2, um2, obu2,
+        delq2, tveg02, psn_mode=psn_mode, soybean=soybean,
+        warm_start=warm_start, ci_prev=ci_prev2)
+    if mixed_canopy and wdt2 == jnp.float64:
+        cf_stab = _to2(cf_stab, wdt2)
     cf_cf = cfx.compute_flux(
         land, dtime, snl, frac_veg_nosno, frac_sno, t_soisno, frac_h2osfc,
         s.t_h2osfc, tot.sabv, hum.qg_snow, hum.qg_soil, hum.qg_h2osfc,
