@@ -45,3 +45,26 @@ def test_mixed_canopy_tracks_f64():
                                rtol=0.05, atol=1.0)
     # everything finite through the f32 loop
     assert np.all(np.isfinite(np.asarray(m_mix.state.t_veg)))
+
+
+def test_mixed_canopy_with_warm_start_tracks_f64():
+    """The stacked perf config (f32 canopy loop + warm-started solvers —
+    4.21 ms/step, 1.94M col/s on v5e, BASELINE.md r3) must satisfy the
+    same contract jointly."""
+    start = Date.from_ymd(1985, 7, 1)
+    m_ref = Model(ncol=3, lat_deg=40.0, lon_deg=255.0)
+    m_fast = Model(ncol=3, lat_deg=40.0, lon_deg=255.0,
+                   mixed_canopy=True, warm_start=True)
+    d_ref = m_ref.run_scan(start, NSTEPS)
+    d_fast = m_fast.run_scan(start, NSTEPS)
+
+    assert float(np.abs(np.asarray(d_fast.errh2o_led_max)).max()) < 1e-9
+    assert float(np.abs(np.asarray(d_fast.errh2osno_max)).max()) < 1e-7
+    assert float(np.abs(np.asarray(d_fast.errsol_max)).max()) < 1e-5
+    for name in ("t_veg", "t_grnd", "t_soisno", "h2osno", "h2ocan"):
+        a = np.asarray(getattr(m_ref.state, name))
+        b = np.asarray(getattr(m_fast.state, name))
+        assert np.max(np.abs(a - b)) < 0.05, name
+    np.testing.assert_allclose(np.asarray(d_fast.eflx_sh_mean),
+                               np.asarray(d_ref.eflx_sh_mean),
+                               rtol=0.02, atol=1.0)
