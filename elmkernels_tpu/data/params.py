@@ -203,6 +203,8 @@ def default_params(ncol: int, pft_path: str, vtype=12,
                    organic_max: float | None = None,
                    snowage_tables=None,
                    ltype=c.ISTSOIL,
+                   topo_slope_raw=0.070044865858546,
+                   topo_std=3.96141847422387,
                    dtype=jnp.float64) -> ModelParams:
     """Assemble ModelParams.  Defaults mirror the reference driver's
     hardwired site (``elm_kokkos_interface.cc:92-96``: Utqiagvik,
@@ -246,10 +248,10 @@ def default_params(ncol: int, pft_path: str, vtype=12,
     land = c.LandType(ltype=(int(lt) if lt.ndim == 0 else jnp.asarray(lt)),
                       ctype=1,
                       vtype=int(vt if not heterog else vt.flat[0]))
-    topo_slope = ini.init_topo_slope(jnp.full((ncol,), 0.070044865858546,
-                                              dtype))
-    n_melt = ini.init_melt_factor(land, jnp.full((ncol,), 3.96141847422387,
-                                                 dtype))
+    topo_slope = ini.init_topo_slope(
+        _per_column(topo_slope_raw, ncol, "topo_slope_raw", dtype))
+    n_melt = ini.init_melt_factor(
+        land, _per_column(topo_std, ncol, "topo_std", dtype))
     micro_sigma = ini.init_micro_sigma(topo_slope)
 
     # root fraction from PFT root distribution parameters

@@ -34,6 +34,8 @@ class SurfData(NamedTuple):
     pct_sand: np.ndarray       # [ncol, nlevsoi]
     pct_clay: np.ndarray
     organic: np.ndarray
+    topo_slope: np.ndarray | None  # [ncol] raw slope (None if absent)
+    topo_std: np.ndarray | None    # [ncol] elevation std (None if absent)
 
 
 def _grid_var(f, names, ncol, col0, path):
@@ -77,6 +79,14 @@ def read_surfdata(path: str, ncol: int, col0: int = 0) -> SurfData:
             f.variables["PFT"][:]).reshape(-1)[col0:col0 + ncol]
         vtype = vtype.astype(np.int32)
 
+    def _opt(names):
+        try:
+            return _grid_var(f, names, ncol, col0, path)
+        except KeyError:
+            return None
+
     return SurfData(lat_deg=lat, lon_deg=lon, vtype=vtype,
                     soil_color=np.asarray(color), mxsoil_color=mx,
-                    pct_sand=sand, pct_clay=clay, organic=org)
+                    pct_sand=sand, pct_clay=clay, organic=org,
+                    topo_slope=_opt(["SLOPE", "TOPO_SLOPE"]),
+                    topo_std=_opt(["STD_ELEV", "TOPO_STD"]))

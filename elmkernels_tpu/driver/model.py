@@ -141,6 +141,11 @@ class Model:
     pct_sand: float | np.ndarray = 40.0
     pct_clay: float | np.ndarray = 20.0
     organic: float | np.ndarray = 10.0
+    # raw topographic slope and standard deviation of elevation (the
+    # reference hardwires the Utqiagvik site values,
+    # elm_kokkos_interface.cc:92-96; surfdata carries SLOPE/STD_ELEV)
+    topo_slope_raw: float | np.ndarray = 0.070044865858546
+    topo_std: float | np.ndarray = 3.96141847422387
     # month-per-file NetCDF forcing basename ("<basename>YYYY-MM.nc",
     # reference read_input.hh); None selects the synthetic forcing
     forcing_basename: str | None = None
@@ -222,7 +227,8 @@ class Model:
             self.lon_deg, soil_color=self.soil_color,
             pct_sand=self.pct_sand, pct_clay=self.pct_clay,
             organic=self.organic, mxsoil_color=self.mxsoil_color,
-            snowage_tables=snowage_tables, ltype=self.ltype)
+            snowage_tables=snowage_tables, ltype=self.ltype,
+            topo_slope_raw=self.topo_slope_raw, topo_std=self.topo_std)
         self.state = cold_start(self.ncol)
         if self.het_ltype or self.land.ltype != c.ISTSOIL:
             self.state = self._ltype_cold_start(self.state)
@@ -307,6 +313,10 @@ class Model:
         if "vtype" not in kw:
             kw["vtype"] = (sd.vtype.tolist() if sd.vtype is not None
                            else cls.vtype)
+        for field, val in (("topo_slope_raw", sd.topo_slope),
+                           ("topo_std", sd.topo_std)):
+            if val is not None and field not in kw:
+                kw[field] = val
         return cls(ncol=ncol, col0=col0, lat_deg=sd.lat_deg,
                    lon_deg=sd.lon_deg, soil_color=sd.soil_color,
                    mxsoil_color=sd.mxsoil_color, pct_sand=sd.pct_sand,

@@ -35,6 +35,11 @@ PFTS = [1, 12, 14, 23]  # C3 tree, arctic C3 grass, C4 grass, soybean
 SAND0 = [40.0, 70.0, 20.0, 55.0]   # surface values; profiles vary by depth
 CLAY0 = [20.0, 10.0, 45.0, 25.0]
 ORG0 = [10.0, 1.0, 80.0, 30.0]
+SLOPES = [0.21, 0.30, 0.25, 0.45]  # raw slope per cell (above the
+#                                    reference's 0.2 floor so the derived
+#                                    micro_sigma actually differs)
+STDEVS = [12.0, 120.0, 25.0, 40.0]  # elevation std per cell (above the
+#                                     reference's 10 m floor in n_melt)
 NSTEP = 8
 
 
@@ -65,6 +70,8 @@ def _write_surfdata(path, npft=25):
         "ORGANIC": (grid3, org.reshape(NLEVSOI, NLAT, NLON)),
         "PCT_NAT_PFT": (("natpft",) + grid2,
                         pct_pft.reshape(npft, NLAT, NLON)),
+        "SLOPE": (grid2, np.asarray(SLOPES).reshape(NLAT, NLON)),
+        "STD_ELEV": (grid2, np.asarray(STDEVS).reshape(NLAT, NLON)),
     }
     netcdf_io.write_nc(str(path), dims, variables)
 
@@ -87,6 +94,8 @@ def test_read_surfdata_roundtrip(surfdata_path):
     np.testing.assert_allclose(sd.pct_sand, sand.T)
     np.testing.assert_allclose(sd.pct_clay, clay.T)
     np.testing.assert_allclose(sd.organic, org.T)
+    np.testing.assert_allclose(sd.topo_slope, SLOPES)
+    np.testing.assert_allclose(sd.topo_std, STDEVS)
 
 
 def test_read_surfdata_shard_offset(surfdata_path):
@@ -111,7 +120,8 @@ def test_from_surfdata_matches_homogeneous_runs(surfdata_path):
         homo = Model(ncol=1, vtype=PFTS[i], lat_deg=LATS[i],
                      lon_deg=LONS[i], soil_color=COLORS[i],
                      pct_sand=sand.T[i:i + 1], pct_clay=clay.T[i:i + 1],
-                     organic=org.T[i:i + 1])
+                     organic=org.T[i:i + 1], topo_slope_raw=SLOPES[i],
+                     topo_std=STDEVS[i])
         homo.run(Date(1985, 1, 1), NSTEP)
         for name, hv in homo.state._asdict().items():
             hv = np.asarray(hv)
@@ -130,6 +140,9 @@ def test_from_surfdata_columns_actually_differ(surfdata_path):
     assert np.unique(np.asarray(m.params.lat_r)).size == NCOL
     assert np.unique(np.asarray(m.params.albsat)[:, 0]).size > 1
     assert np.unique(np.asarray(m.params.watsat)[:, 0]).size == NCOL
+    # SLOPE/STD_ELEV landed: micro_sigma and n_melt vary per column
+    assert np.unique(np.asarray(m.params.micro_sigma)).size == NCOL
+    assert np.unique(np.asarray(m.params.n_melt)).size == NCOL
     m.run(Date(1985, 1, 1), NSTEP)
     assert np.unique(np.asarray(m.state.t_grnd)).size == NCOL
 
