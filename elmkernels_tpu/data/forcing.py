@@ -26,9 +26,35 @@ import os
 
 import numpy as np
 
+from typing import NamedTuple
+
 from elmkernels_tpu.data.state import StepForcing, StepPhenology
 from elmkernels_tpu.utils.dates import Date, monthly_data_weights, \
     month_indices
+
+
+class ForcingSeries(NamedTuple):
+    """Raw forcing samples on the forcing-time grid, [nt, ncol] each —
+    the reference's own windowed layout (``atm_data_impl.hh:248-319``).
+    Consecutive model steps share bracketing samples (dt < forcing
+    interval), so shipping the series + per-step indices moves ~dtf/dt
+    times fewer bytes than per-step-broadcast bracketing pairs."""
+    tbot: np.ndarray
+    pbot: np.ndarray
+    qbot: np.ndarray
+    flds: np.ndarray
+    wind: np.ndarray
+    fsds: np.ndarray
+    prec: np.ndarray
+
+
+class SeriesSteps(NamedTuple):
+    """Per-step bracket indices into a :class:`ForcingSeries` + weights
+    ([nsteps] each; idx2 = idx1 + 1 by construction)."""
+    idx1: np.ndarray    # i32
+    wt1: np.ndarray
+    wt2: np.ndarray
+    decday: np.ndarray
 
 
 @dataclasses.dataclass
@@ -88,6 +114,37 @@ class SyntheticForcing:
             qbot=np.stack([p0[2], p1[2]]), flds=np.stack([p0[3], p1[3]]),
             wind=np.stack([p0[4], p1[4]]), fsds=fsds, prec=prec,
             decday=date.decimal_doy() + 1.0)
+
+    def series(self, start: Date, nsteps: int,
+               dtime: float) -> tuple[ForcingSeries, SeriesSteps]:
+        """The forcing-grid sample series covering ``nsteps`` steps plus
+        per-step bracket indices/weights.  Gathering rows ``idx1``/
+        ``idx1+1`` and applying ``wt1/wt2`` reproduces :meth:`window`'s
+        per-step samples bit-for-bit (same sampling arithmetic)."""
+        date = start.copy()
+        i0s, wt1s, wt2s, decdays = [], [], [], []
+        for _ in range(nsteps):
+            tsec = (date.year * 365.0 + date.doy) * 86400.0 + date.sec
+            tmid = tsec + 0.5 * dtime
+            i0 = np.floor(tmid / self.dt_forcing)
+            t0 = i0 * self.dt_forcing
+            wt2 = (tmid - t0) / self.dt_forcing
+            i0s.append(i0)
+            wt1s.append(1.0 - wt2)
+            wt2s.append(wt2)
+            decdays.append(date.decimal_doy() + 1.0)
+            date.increment_seconds(int(dtime))
+        i0s = np.asarray(i0s)
+        imin = i0s.min()
+        nt = int(i0s.max() - imin) + 2
+        tgrid = ((imin + np.arange(nt)) * self.dt_forcing)[:, None]
+        tb, pb, qb, fl, wd = self._sample_point(tgrid)
+        fsds, prec = self._sample_flux(tgrid)
+        return (ForcingSeries(tbot=tb, pbot=pb, qbot=qb, flds=fl, wind=wd,
+                              fsds=fsds, prec=prec),
+                SeriesSteps(idx1=(i0s - imin).astype(np.int32),
+                            wt1=np.asarray(wt1s), wt2=np.asarray(wt2s),
+                            decday=np.asarray(decdays)))
 
 
 @dataclasses.dataclass

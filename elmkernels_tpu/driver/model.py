@@ -84,22 +84,69 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
                                  mixed_radiation=mixed_rad,
                                  elm_correct_seb=seb_fix, warm_start=warm,
                                  het_ltype=het_lt, mixed_canopy=mixed_can)
-        out = ScanDiagnostics(
-            errh2o_max=jnp.abs(d.errh2o).max(),
-            errh2o_led_max=jnp.abs(d.errh2o_led).max(),
-            errh2osno_max=jnp.abs(d.errh2osno).max(),
-            errsol_max=jnp.abs(d.errsol).max(),
-            errlon_max=jnp.abs(d.errlon).max(),
-            errseb_max=jnp.abs(d.errseb).max(),
-            eflx_sh_mean=d.eflx_sh_tot.mean(),
-            eflx_lh_mean=d.eflx_lh_tot.mean(),
-            fsa_mean=d.fsa.mean(),
-            t_ref2m_mean=d.t_ref2m.mean(),
-            niters_canopy_max=d.niters_canopy.max(),
-            niters_canopy_mean=d.niters_canopy.mean(),
-            niters_ci_mean=d.niters_ci.mean())
-        return st, out
+        return st, _reduce_diags(d)
     return jax.lax.scan(body, state, (forc_stack, phen_stack))
+
+
+def _reduce_diags(d) -> ScanDiagnostics:
+    return ScanDiagnostics(
+        errh2o_max=jnp.abs(d.errh2o).max(),
+        errh2o_led_max=jnp.abs(d.errh2o_led).max(),
+        errh2osno_max=jnp.abs(d.errh2osno).max(),
+        errsol_max=jnp.abs(d.errsol).max(),
+        errlon_max=jnp.abs(d.errlon).max(),
+        errseb_max=jnp.abs(d.errseb).max(),
+        eflx_sh_mean=d.eflx_sh_tot.mean(),
+        eflx_lh_mean=d.eflx_lh_tot.mean(),
+        fsa_mean=d.fsa.mean(),
+        t_ref2m_mean=d.t_ref2m.mean(),
+        niters_canopy_max=d.niters_canopy.max(),
+        niters_canopy_mean=d.niters_canopy.mean(),
+        niters_ci_mean=d.niters_ci.mean())
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+                   donate_argnums=(14,))
+def _jitted_scan_series(land, dtime, aging_fix, psn_mode, qbot_is_rh,
+                        mixed_rad, seb_fix, warm, het_lt, mixed_can,
+                        snicar, params, psnveg, albveg, state, series,
+                        steps, phen_uniq, phen_steps):
+    """K timesteps over a forcing SERIES: the raw forcing-grid samples
+    ([nt, ncol], loop-invariant) plus tiny per-step bracket
+    indices/weights, with the bracketing-pair gathers done ON DEVICE in
+    the scan body.  Bit-identical to :func:`_jitted_scan` fed the
+    equivalent per-step stacks, but ships ~dtf/dt-fold fewer forcing
+    bytes to the device — the production ingest layout at scale, and the
+    reference's own windowed design (``atm_data_impl.hh:248-319``)."""
+    def body(st, xs):
+        sc, (pidx, pwt1, pwt2) = xs
+
+        def row(a, i):
+            return jax.lax.dynamic_index_in_dim(a, i, axis=0,
+                                                keepdims=False)
+
+        def pair(a):
+            return jnp.stack([row(a, sc.idx1), row(a, sc.idx1 + 1)])
+        forc = StepForcing(
+            wt1=sc.wt1, wt2=sc.wt2, tbot=pair(series.tbot),
+            pbot=pair(series.pbot), qbot=pair(series.qbot),
+            flds=pair(series.flds), wind=pair(series.wind),
+            fsds=row(series.fsds, sc.idx1), prec=row(series.prec, sc.idx1),
+            decday=sc.decday, aero=None)
+        phen = StepPhenology(
+            wt1=pwt1, wt2=pwt2, mlai=row(phen_uniq.mlai, pidx),
+            msai=row(phen_uniq.msai, pidx),
+            mhtop=row(phen_uniq.mhtop, pidx),
+            mhbot=row(phen_uniq.mhbot, pidx))
+        st, d = step_mod.advance(land, psnveg, albveg, snicar, params, st,
+                                 forc, phen, dtime,
+                                 elm_correct_snow_aging=aging_fix,
+                                 psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
+                                 mixed_radiation=mixed_rad,
+                                 elm_correct_seb=seb_fix, warm_start=warm,
+                                 het_ltype=het_lt, mixed_canopy=mixed_can)
+        return st, _reduce_diags(d)
+    return jax.lax.scan(body, state, (steps, phen_steps))
 
 
 @dataclasses.dataclass
@@ -397,6 +444,82 @@ class Model:
             self.psnveg, self.albveg, self.state, forc_stack, phen_stack)
         return diags
 
+    def _phen_stack(self, start: Date, nsteps: int):
+        date = start.copy()
+        phens = []
+        for _ in range(nsteps):
+            phens.append(self.phenology.window(date))
+            date.increment_seconds(int(self.dtime))
+        return jax.tree.map(lambda *xs: np.stack([np.asarray(x)
+                                                  for x in xs]), *phens)
+
+    def _host_series(self, start: Date, nsteps: int):
+        """Host-assemble the forcing SERIES ingest payload: raw
+        forcing-grid samples + per-step indices/weights + phenology —
+        ~dtf/dt-fold fewer bytes than :meth:`host_windows`' per-step
+        stacks (BASELINE.md r3 ingest section)."""
+        if self.aerosol is not None:
+            raise NotImplementedError(
+                "series ingest does not carry the monthly aerosol "
+                "deposition stream yet; use the stacked ingest path")
+        ser, steps = self.forcing.series(start, nsteps, self.dtime)
+        # pad nt to the worst-case span so every window shares one
+        # compiled executable (alignment makes nt vary by +-1)
+        ntfix = int(np.ceil(nsteps * self.dtime
+                            / self.forcing.dt_forcing)) + 2
+        pad = ntfix - ser.tbot.shape[0]
+        if pad > 0:
+            ser = jax.tree.map(
+                lambda a: np.concatenate([a, np.repeat(a[-1:], pad, 0)]),
+                ser)
+        # phenology: the monthly bracket slices are identical for every
+        # step of a window except across a month rollover (<=2 unique
+        # pairs) — ship the unique pairs once + per-step indices/weights
+        # instead of nsteps copies (cuts the phen payload ~nsteps/2-fold)
+        date = start.copy()
+        uniq, idxs, wt1s, wt2s = [], [], [], []
+        for _ in range(nsteps):
+            ph = self.phenology.window(date)
+            key = None
+            for k, u in enumerate(uniq):
+                if (u.mlai is ph.mlai or
+                        np.array_equal(np.asarray(u.mlai),
+                                       np.asarray(ph.mlai))):
+                    key = k
+                    break
+            if key is None:
+                uniq.append(ph)
+                key = len(uniq) - 1
+            idxs.append(key)
+            wt1s.append(ph.wt1)
+            wt2s.append(ph.wt2)
+            date.increment_seconds(int(self.dtime))
+        # pad to >=2 unique pairs so window-sized executables share a
+        # shape (at most one rollover fits in any window under a month)
+        while len(uniq) < 2:
+            uniq.append(uniq[-1])
+        phen_uniq = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *uniq)
+        phen_steps = (np.asarray(idxs, np.int32), np.asarray(wt1s),
+                      np.asarray(wt2s))
+        return ser, steps, (phen_uniq, phen_steps)
+
+    def run_scan_series(self, start: Date, nsteps: int) -> ScanDiagnostics:
+        """``run_scan`` over the series ingest layout — bit-identical
+        trajectories, far fewer forcing bytes shipped; mutates
+        self.state."""
+        ser, steps, (phen_uniq, phen_steps) = jax.tree.map(
+            jnp.asarray, self._host_series(start, nsteps),
+            is_leaf=lambda x: isinstance(x, np.ndarray))
+        self.state, diags = _jitted_scan_series(
+            self.land, self.dtime, self.elm_correct_snow_aging,
+            self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
+            self.mixed_radiation, self.elm_correct_seb, self.warm_start,
+            self.het_ltype, self.mixed_canopy, self.snicar, self.params,
+            self.psnveg, self.albveg, self.state, ser, steps, phen_uniq,
+            phen_steps)
+        return diags
+
     def host_windows(self, start: Date, nsteps: int):
         """``stack_windows`` but strictly host-side: numpy stacks, zero
         device work — safe to run on a prefetch thread while the device
@@ -429,7 +552,8 @@ class Model:
         return jax.tree.map(spec, tree)
 
     def run_windows(self, start: Date, nsteps: int, window: int = 48,
-                    callback: Callable | None = None) -> ScanDiagnostics:
+                    callback: Callable | None = None,
+                    series: bool = False) -> ScanDiagnostics:
         """Advance ``nsteps`` as ``nsteps//window`` scan executables with
         the NEXT window's host assembly + H2D transfer overlapped against
         the CURRENT window's device compute (double buffer).
@@ -439,7 +563,12 @@ class Model:
         front — a memory wall and dead device time for month-long runs —
         while here at most two [window, ncol] stacks are live at once.
         ``callback(date, state, diags)`` fires per window with the
-        window's reduced diagnostics."""
+        window's reduced diagnostics.
+
+        ``series=True`` ships each window in the forcing-series layout
+        (raw forcing-grid samples + per-step bracket indices, with the
+        bracket gathers done on device) — bit-identical trajectories,
+        ~dtf/dt-fold fewer H2D bytes (BASELINE.md r3 ingest section)."""
         if nsteps % window:
             raise ValueError(f"nsteps={nsteps} not a multiple of "
                              f"window={window} (one executable per shape)")
@@ -450,27 +579,36 @@ class Model:
                 return jax.device_put(stacks, self._window_sharding(stacks))
             return jax.device_put(stacks)
 
+        host_fn = self._host_series if series else self.host_windows
+        statics = (self.land, self.dtime, self.elm_correct_snow_aging,
+                   self.psn_mode,
+                   getattr(self.forcing, "qbot_is_rh", False),
+                   self.mixed_radiation, self.elm_correct_seb,
+                   self.warm_start, self.het_ltype, self.mixed_canopy)
         ex = cf.ThreadPoolExecutor(max_workers=1)
         try:
             date = start.copy()
-            fut = ex.submit(self.host_windows, date, window)
+            fut = ex.submit(host_fn, date, window)
             diags_all = []
             for i in range(nsteps // window):
                 # H2D of this window; the assembly of the NEXT one starts
                 # before the (async) scan dispatch returns control
-                forc, phen = put(fut.result())
+                payload = put(fut.result())
                 date = date.copy()
                 date.increment_seconds(int(self.dtime) * window)
                 if (i + 1) * window < nsteps:
-                    fut = ex.submit(self.host_windows, date, window)
-                self.state, d = _jitted_scan(
-                    self.land, self.dtime, self.elm_correct_snow_aging,
-                    self.psn_mode,
-                    getattr(self.forcing, "qbot_is_rh", False),
-                    self.mixed_radiation, self.elm_correct_seb,
-                    self.warm_start, self.het_ltype, self.mixed_canopy,
-                    self.snicar, self.params, self.psnveg, self.albveg,
-                    self.state, forc, phen)
+                    fut = ex.submit(host_fn, date, window)
+                if series:
+                    ser, steps, (phen_uniq, phen_steps) = payload
+                    self.state, d = _jitted_scan_series(
+                        *statics, self.snicar, self.params, self.psnveg,
+                        self.albveg, self.state, ser, steps, phen_uniq,
+                        phen_steps)
+                else:
+                    forc, phen = payload
+                    self.state, d = _jitted_scan(
+                        *statics, self.snicar, self.params, self.psnveg,
+                        self.albveg, self.state, forc, phen)
                 diags_all.append(d)
                 if callback is not None:
                     callback(date, self.state, d)

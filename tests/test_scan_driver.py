@@ -88,3 +88,49 @@ def test_run_windows_rejects_ragged():
         pass
     else:
         raise AssertionError("ragged window accepted")
+
+
+def test_series_ingest_matches_stacked():
+    """The forcing-series ingest layout (raw forcing-grid samples +
+    per-step bracket indices, gathers on device) must reproduce the
+    per-step-stacked scan bit-for-bit — it ships the same sample values,
+    just ~dtf/dt-fold fewer of them (BASELINE.md r3 ingest section)."""
+    start = Date.from_ymd(1985, 7, 1, 6 * 3600)
+    m_stack = Model(ncol=3)
+    m_series = Model(ncol=3)
+    d_stack = m_stack.run_scan(start, 6)
+    d_series = m_series.run_scan_series(start, 6)
+    for name, a in zip(m_stack.state._fields, m_stack.state):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(getattr(m_series.state, name)),
+            err_msg=name)
+    np.testing.assert_array_equal(np.asarray(d_stack.errsol_max),
+                                  np.asarray(d_series.errsol_max))
+
+
+def test_run_windows_series_matches_stacked():
+    start = Date.from_ymd(1985, 7, 1, 6 * 3600)
+    m_a = Model(ncol=3)
+    m_b = Model(ncol=3)
+    d_a = m_a.run_windows(start, 4, window=2)
+    d_b = m_b.run_windows(start, 4, window=2, series=True)
+    for name, a in zip(m_a.state._fields, m_a.state):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(getattr(m_b.state, name)),
+            err_msg=name)
+    np.testing.assert_array_equal(np.asarray(d_a.errsol_max),
+                                  np.asarray(d_b.errsol_max))
+
+
+def test_series_ingest_across_phenology_rollover():
+    """A window crossing the monthly-phenology bracket switch (mid-month)
+    exercises the 2-unique-pair phen series path; still bit-identical."""
+    start = Date.from_ymd(1985, 1, 15)
+    m_stack = Model(ncol=2)
+    m_series = Model(ncol=2)
+    m_stack.run_scan(start, 48)
+    m_series.run_scan_series(start, 48)
+    for name, a in zip(m_stack.state._fields, m_stack.state):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(getattr(m_series.state, name)),
+            err_msg=name)
