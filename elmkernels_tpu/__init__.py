@@ -19,8 +19,11 @@ Layout (mirrors the reference's layer map, SURVEY.md §1):
 - :mod:`elmkernels_tpu.driver` — the jitted ``advance`` step + model API
   (reference: ``driver/kokkos/*``).
 - :mod:`elmkernels_tpu.parallel` — mesh/sharding helpers (replaces MPI).
-- :mod:`elmkernels_tpu.ops` — custom-kernel slot (currently empty: the
-  production solvers are pure XLA; see the module docstring).
+
+There is deliberately no custom-kernel (Pallas) package: round-2/3
+profiling showed the production solver paths are best served by pure
+XLA for both dtypes (Mosaic has no f64, and the experimental f32 ci
+kernel failed to legalize on v5e) — see BASELINE.md roofline notes.
 """
 
 __version__ = "0.1.0"

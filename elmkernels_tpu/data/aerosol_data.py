@@ -40,6 +40,17 @@ class AerosolDataManager:
         wt1, wt2 = monthly_data_weights(date)
         return {k: wt1 * v[m1] + wt2 * v[m2] for k, v in self.data.items()}
 
+    def bracket(self, date: Date) -> np.ndarray:
+        """The month-bracket deposition pair for the series ingest
+        layout: [2, 11, ncol] stacked in ``AERO_DEP_KEYS`` order.  The
+        device applies ``wt1*a[0] + wt2*a[1]`` (the exact arithmetic of
+        :meth:`rates`) with the phenology stream's monthly weights, so
+        trajectories stay bit-identical to the stacked ingest."""
+        m1, m2 = month_indices(date)
+        return np.stack([
+            np.stack([self.data[k][m] for k in DEP_VARS])
+            for m in (m1, m2)])
+
 
 class SteadyAerosol:
     """Constant deposition rates (used when no deposition file exists)."""
@@ -51,3 +62,7 @@ class SteadyAerosol:
     def rates(self, date: Date) -> dict:
         return {k: np.full(self.ncol, self.scale * (i + 1))
                 for i, k in enumerate(DEP_VARS)}
+
+    def bracket(self, date: Date) -> np.ndarray:
+        one = np.stack([self.rates(date)[k] for k in DEP_VARS])
+        return np.stack([one, one])

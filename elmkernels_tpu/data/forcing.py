@@ -227,19 +227,51 @@ class NetCDFForcing:
         return f"{self.basename}{year:04d}-{month:02d}.nc"
 
     def _read_cells(self, path: str, vname: str) -> np.ndarray:
-        """Read a forcing variable as (t, cell) regardless of the file's
-        dim order (reference ``atm_data_impl.hh:219-245``)."""
+        """Read this host's [t, col0:col0+ncol) shard of a forcing
+        variable as (t, cell) regardless of the file's dim order
+        (reference ``atm_data_impl.hh:219-245``).
+
+        The read is a per-host HYPERSLAB, not full-grid-then-slice
+        (reference rank-local start/count reads, ``read_input.cc:52-87``
+        and PNetCDF collective hyperslabs, ``read_pnetcdf.hh:151-170``):
+        the flattened cell range [col0, col0+ncol) maps to a contiguous
+        span [j0, j1] of the leading non-time ("major") grid dimension —
+        the (lat, lon)-box of the reference — so each host reads only
+        its rows plus at most one partial row on each side.  Per-host
+        read bytes scale with ncol_local, not the global grid.
+        """
         from elmkernels_tpu.data import netcdf_io
-        arr = netcdf_io.read_var(path, vname)
         dims = netcdf_io.get_var_dimnames(path, vname)
+        shape = netcdf_io.get_dimensions(path, vname)
         taxes = [i for i, d in enumerate(dims)
                  if d.lower() in ("dtime", "time")]
         if len(taxes) != 1:
             raise ValueError(f"{path}:{vname}: cannot identify the time "
                              f"axis among dims {dims}")
-        arr = np.moveaxis(arr, taxes[0], 0)
+        taxis = taxes[0]
+        other = [i for i in range(len(shape)) if i != taxis]
+        # cells flatten C-order over the non-time dims in file order:
+        # the first is the major axis, the rest fold into the minor span
+        kminor = 1
+        for i in other[1:]:
+            kminor *= shape[i]
+        ncell = kminor * (shape[other[0]] if other else 1)
+        if self.col0 + self.ncol > ncell:
+            raise ValueError(f"{path}:{vname}: {ncell} cells < col0+ncol "
+                             f"{self.col0 + self.ncol}")
+        start = [0] * len(shape)
+        count = list(shape)
+        j0 = 0
+        if other:
+            j0 = self.col0 // kminor
+            j1 = (self.col0 + self.ncol - 1) // kminor
+            start[other[0]] = j0
+            count[other[0]] = j1 - j0 + 1
+        arr = netcdf_io.read_var(path, vname, start=start, count=count)
+        arr = np.moveaxis(arr, taxis, 0)
         arr = arr.reshape(arr.shape[0], -1)
-        return arr[:, self.col0:self.col0 + self.ncol]
+        off = self.col0 - j0 * kminor
+        return arr[:, off:off + self.ncol]
 
     def _load_month(self, year: int, month: int) -> dict:
         key = (year, month)
@@ -274,9 +306,12 @@ class NetCDFForcing:
             self._cache.pop(next(iter(self._cache)))
         return data
 
-    def window(self, date: Date, dtime: float) -> StepForcing:
-        y, m, d = date.date()
-        data = self._load_month(y, m)
+    def _locate(self, date: Date, dtime: float, data: dict,
+                y: int, m: int) -> tuple[int, float, float]:
+        """In-month bracket index + interpolation weights for the step
+        starting at ``date`` — the single arithmetic shared by
+        :meth:`window` and :meth:`series` (so the two ingest layouts are
+        bit-identical by construction)."""
         dt_forc = ((data["dtime"][1] - data["dtime"][0]) * 86400.0
                    if len(data["dtime"]) > 1 else 86400.0)
         file_start_doy = Date.from_ymd(y, m, 1).doy
@@ -295,7 +330,81 @@ class NetCDFForcing:
                    "does not exist to bridge the month boundary"))
         t0 = idx * dt_forc
         wt2 = float((tmid - t0) / dt_forc)
-        wt1 = 1.0 - wt2
+        return idx, 1.0 - wt2, wt2
+
+    @property
+    def dt_forcing(self) -> float:
+        """Forcing sample interval [s], probed from the first file's
+        DTIME (used by the series layout's fixed-window padding)."""
+        if getattr(self, "_dt_forcing", None) is None:
+            import glob
+            from elmkernels_tpu.data import netcdf_io
+            files = sorted(glob.glob(self.basename + "*.nc"))
+            if not files:
+                raise FileNotFoundError(f"{self.basename}*.nc: no files")
+            dt = netcdf_io.read_var(files[0], "DTIME")
+            self._dt_forcing = (float(dt[1] - dt[0]) * 86400.0
+                                if len(dt) > 1 else 86400.0)
+        return self._dt_forcing
+
+    def series(self, start: Date, nsteps: int,
+               dtime: float) -> tuple[ForcingSeries, SeriesSteps]:
+        """The raw forcing-grid sample series covering ``nsteps`` steps
+        plus per-step bracket indices/weights — the production ingest
+        layout, from actual month files (the reference's own windowed
+        read, ``atm_data_impl.hh:248-319``).  Gathering rows ``idx1``/
+        ``idx1+1`` with ``wt1/wt2`` reproduces :meth:`window`'s per-step
+        samples bit-for-bit: both paths read the same file rows (month
+        bridges dedupe to the next month's row 0) and share
+        :meth:`_locate`'s arithmetic."""
+        # pass 1: per-step (year, month, in-month idx, weights)
+        date = start.copy()
+        info, months = [], []
+        for _ in range(nsteps):
+            y, m, _ = date.date()
+            data = self._load_month(y, m)
+            idx, wt1, wt2 = self._locate(date, dtime, data, y, m)
+            if (y, m) not in months:
+                months.append((y, m))
+            info.append((y, m, idx, wt1, wt2, date.decimal_doy() + 1.0))
+            date.increment_seconds(int(dtime))
+        # pass 2: concatenate the months' sample rows in time order,
+        # dropping every non-final month's bridge row (it duplicates the
+        # next month's row 0); record each month's global row offset
+        keys = list(self.VAR_NAMES)
+        rows = {k: [] for k in keys}
+        offsets, off = {}, 0
+        for i, (y, m) in enumerate(months):
+            data = self._load_month(y, m)
+            n = data["tbot"].shape[0]
+            take = n if i == len(months) - 1 else \
+                n - (1 if data["has_bridge"] else 0)
+            offsets[(y, m)] = off
+            for k in keys:
+                rows[k].append(data[k][:take])
+            off += take
+        cat = {k: np.concatenate(rows[k], axis=0) for k in keys}
+        idx1 = np.asarray([offsets[(y, m)] + idx
+                           for y, m, idx, _, _, _ in info], np.int64)
+        if idx1.max() + 1 >= off:
+            raise ValueError("series bracket exceeds the assembled span "
+                             "(missing month-boundary bridge file?)")
+        imin = int(idx1.min())
+        # trim to the bracketed span [first idx1, last idx1+1] so the
+        # payload ships only the rows the window gathers (not the rest
+        # of the month) and window-sized payloads share a shape
+        # regardless of where in a month they fall
+        cat = {k: v[imin:int(idx1.max()) + 2] for k, v in cat.items()}
+        return (ForcingSeries(**cat),
+                SeriesSteps(idx1=(idx1 - imin).astype(np.int32),
+                            wt1=np.asarray([x[3] for x in info]),
+                            wt2=np.asarray([x[4] for x in info]),
+                            decday=np.asarray([x[5] for x in info])))
+
+    def window(self, date: Date, dtime: float) -> StepForcing:
+        y, m, d = date.date()
+        data = self._load_month(y, m)
+        idx, wt1, wt2 = self._locate(date, dtime, data, y, m)
 
         return StepForcing(
             wt1=wt1, wt2=wt2,

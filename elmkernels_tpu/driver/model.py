@@ -110,14 +110,20 @@ def _reduce_diags(d) -> ScanDiagnostics:
 def _jitted_scan_series(land, dtime, aging_fix, psn_mode, qbot_is_rh,
                         mixed_rad, seb_fix, warm, het_lt, mixed_can,
                         snicar, params, psnveg, albveg, state, series,
-                        steps, phen_uniq, phen_steps):
+                        steps, phen_uniq, phen_steps, aero_uniq=None):
     """K timesteps over a forcing SERIES: the raw forcing-grid samples
     ([nt, ncol], loop-invariant) plus tiny per-step bracket
     indices/weights, with the bracketing-pair gathers done ON DEVICE in
     the scan body.  Bit-identical to :func:`_jitted_scan` fed the
     equivalent per-step stacks, but ships ~dtf/dt-fold fewer forcing
     bytes to the device — the production ingest layout at scale, and the
-    reference's own windowed design (``atm_data_impl.hh:248-319``)."""
+    reference's own windowed design (``atm_data_impl.hh:248-319``).
+
+    ``aero_uniq`` ([nuniq, 2, 11, ncol], the monthly deposition bracket
+    pairs in AERO_DEP_KEYS order) carries the aerosol stream; its
+    monthly interpolation shares the phenology bracket index/weights
+    (both are ``monthly_data_weights`` streams) and runs on device with
+    the same f64 multiply-add as the host ``_attach_aero`` path."""
     def body(st, xs):
         sc, (pidx, pwt1, pwt2) = xs
 
@@ -127,12 +133,16 @@ def _jitted_scan_series(land, dtime, aging_fix, psn_mode, qbot_is_rh,
 
         def pair(a):
             return jnp.stack([row(a, sc.idx1), row(a, sc.idx1 + 1)])
+        aero = None
+        if aero_uniq is not None:
+            ab = row(aero_uniq, pidx)      # [2, 11, ncol]
+            aero = pwt1 * ab[0] + pwt2 * ab[1]
         forc = StepForcing(
             wt1=sc.wt1, wt2=sc.wt2, tbot=pair(series.tbot),
             pbot=pair(series.pbot), qbot=pair(series.qbot),
             flds=pair(series.flds), wind=pair(series.wind),
             fsds=row(series.fsds, sc.idx1), prec=row(series.prec, sc.idx1),
-            decday=sc.decday, aero=None)
+            decday=sc.decday, aero=aero)
         phen = StepPhenology(
             wt1=pwt1, wt2=pwt2, mlai=row(phen_uniq.mlai, pidx),
             msai=row(phen_uniq.msai, pidx),
@@ -455,13 +465,12 @@ class Model:
 
     def _host_series(self, start: Date, nsteps: int):
         """Host-assemble the forcing SERIES ingest payload: raw
-        forcing-grid samples + per-step indices/weights + phenology —
-        ~dtf/dt-fold fewer bytes than :meth:`host_windows`' per-step
-        stacks (BASELINE.md r3 ingest section)."""
-        if self.aerosol is not None:
-            raise NotImplementedError(
-                "series ingest does not carry the monthly aerosol "
-                "deposition stream yet; use the stacked ingest path")
+        forcing-grid samples + per-step indices/weights + the monthly
+        phenology/aerosol bracket pairs — ~dtf/dt-fold fewer bytes than
+        :meth:`host_windows`' per-step stacks (BASELINE.md r3 ingest
+        section).  Works for both forcing providers
+        (``SyntheticForcing.series`` and ``NetCDFForcing.series``)."""
+        from elmkernels_tpu.utils.dates import month_indices
         ser, steps = self.forcing.series(start, nsteps, self.dtime)
         # pad nt to the worst-case span so every window shares one
         # compiled executable (alignment makes nt vary by +-1)
@@ -472,25 +481,24 @@ class Model:
             ser = jax.tree.map(
                 lambda a: np.concatenate([a, np.repeat(a[-1:], pad, 0)]),
                 ser)
-        # phenology: the monthly bracket slices are identical for every
-        # step of a window except across a month rollover (<=2 unique
-        # pairs) — ship the unique pairs once + per-step indices/weights
-        # instead of nsteps copies (cuts the phen payload ~nsteps/2-fold)
+        # monthly streams (phenology, aerosol deposition): the bracket
+        # slices are identical for every step of a window except across
+        # a month rollover (<=2 unique (m1, m2) pairs) — ship the unique
+        # pairs once + per-step indices/weights instead of nsteps copies
+        # (cuts the monthly payload ~nsteps/2-fold); the linear monthly
+        # interpolation runs on device with the same f64 arithmetic as
+        # the host path, so trajectories stay bit-identical
         date = start.copy()
-        uniq, idxs, wt1s, wt2s = [], [], [], []
+        mkeys, uniq, uniq_aero, idxs, wt1s, wt2s = [], [], [], [], [], []
         for _ in range(nsteps):
+            key = month_indices(date)
             ph = self.phenology.window(date)
-            key = None
-            for k, u in enumerate(uniq):
-                if (u.mlai is ph.mlai or
-                        np.array_equal(np.asarray(u.mlai),
-                                       np.asarray(ph.mlai))):
-                    key = k
-                    break
-            if key is None:
+            if key not in mkeys:
+                mkeys.append(key)
                 uniq.append(ph)
-                key = len(uniq) - 1
-            idxs.append(key)
+                if self.aerosol is not None:
+                    uniq_aero.append(self.aerosol.bracket(date))
+            idxs.append(mkeys.index(key))
             wt1s.append(ph.wt1)
             wt2s.append(ph.wt2)
             date.increment_seconds(int(self.dtime))
@@ -498,17 +506,21 @@ class Model:
         # shape (at most one rollover fits in any window under a month)
         while len(uniq) < 2:
             uniq.append(uniq[-1])
+            if self.aerosol is not None:
+                uniq_aero.append(uniq_aero[-1])
         phen_uniq = jax.tree.map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *uniq)
         phen_steps = (np.asarray(idxs, np.int32), np.asarray(wt1s),
                       np.asarray(wt2s))
-        return ser, steps, (phen_uniq, phen_steps)
+        aero_uniq = (np.stack(uniq_aero) if self.aerosol is not None
+                     else None)
+        return ser, steps, (phen_uniq, phen_steps), aero_uniq
 
     def run_scan_series(self, start: Date, nsteps: int) -> ScanDiagnostics:
         """``run_scan`` over the series ingest layout — bit-identical
         trajectories, far fewer forcing bytes shipped; mutates
         self.state."""
-        ser, steps, (phen_uniq, phen_steps) = jax.tree.map(
+        ser, steps, (phen_uniq, phen_steps), aero_uniq = jax.tree.map(
             jnp.asarray, self._host_series(start, nsteps),
             is_leaf=lambda x: isinstance(x, np.ndarray))
         self.state, diags = _jitted_scan_series(
@@ -517,7 +529,7 @@ class Model:
             self.mixed_radiation, self.elm_correct_seb, self.warm_start,
             self.het_ltype, self.mixed_canopy, self.snicar, self.params,
             self.psnveg, self.albveg, self.state, ser, steps, phen_uniq,
-            phen_steps)
+            phen_steps, aero_uniq)
         return diags
 
     def host_windows(self, start: Date, nsteps: int):
@@ -599,11 +611,12 @@ class Model:
                 if (i + 1) * window < nsteps:
                     fut = ex.submit(host_fn, date, window)
                 if series:
-                    ser, steps, (phen_uniq, phen_steps) = payload
+                    ser, steps, (phen_uniq, phen_steps), aero_uniq = \
+                        payload
                     self.state, d = _jitted_scan_series(
                         *statics, self.snicar, self.params, self.psnveg,
                         self.albveg, self.state, ser, steps, phen_uniq,
-                        phen_steps)
+                        phen_steps, aero_uniq)
                 else:
                     forc, phen = payload
                     self.state, d = _jitted_scan(
