@@ -208,3 +208,38 @@ def test_snicar_nc_dispatch(tmp_path):
                           if field.endswith("_bc2") else getattr(t, field))
         np.testing.assert_array_equal(np.asarray(getattr(m.snicar, field)),
                                       want, err_msg=field)
+
+
+def test_global_surfdata_generator(tmp_path):
+    """The committed global-surfdata generator (tools/
+    make_global_surfdata.py) produces a file the production
+    from_surfdata path loads: land-weighted latitudes, all 20 soil
+    color classes, a mixed C3/C4 PFT map, per-column topography —
+    the flagship BENCH_HETERO init (VERDICT r3 item 5)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from make_global_surfdata import write_surfdata
+
+    from elmkernels_tpu import constants as c
+
+    ncell = 256
+    path = str(tmp_path / "surfdata_global.nc")
+    write_surfdata(path, ncell)
+    sd = read_surfdata(path, ncell)
+    assert sd.lat_deg.min() < -40 and sd.lat_deg.max() > 70
+    assert set(np.unique(sd.soil_color)) == set(range(1, 21))
+    assert sd.vtype is not None
+    assert c.NC4_GRASS in sd.vtype and c.NC3_ARCTIC_GRASS in sd.vtype
+    assert sd.topo_slope is not None and sd.topo_std is not None
+    assert sd.pct_sand.shape == (ncell, c.NLEVSOI)
+
+    m = Model.from_surfdata(path, ncol=8, col0=64)
+    # per-column site data flowed through: lat, texture-derived watsat,
+    # and the mixed photosynthesis pathway compiled
+    np.testing.assert_allclose(np.degrees(np.asarray(m.params.lat_r)),
+                               sd.lat_deg[64:72], rtol=1e-12)
+    assert m.psn_mode == "mixed" or len(set(sd.vtype[64:72])) == 1
+    d = m.advance(Date.from_ymd(1985, 7, 1, 12 * 3600))
+    assert np.all(np.isfinite(np.asarray(m.state.t_grnd)))
+    assert float(np.abs(np.asarray(d.errh2o_led)).max()) < 1e-9

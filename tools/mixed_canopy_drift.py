@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Season-scale drift evidence for promoting ``mixed_canopy`` (and the
+stacked ``warm_start`` config) to the production default — VERDICT r3
+item 2: the bar mixed radiation met before its promotion (>=15 days,
+winter AND summer, heterogeneous batch).
+
+Runs the default config (f64 prognostics + f32 radiation) against
+``mixed_canopy=True`` and ``mixed_canopy+warm_start`` on a
+heterogeneous global-style batch (latitude spread across both
+hemispheres, all soil classes, mixed C3/C4 PFTs) for 15 simulated days
+starting Jan 1 (winter) and Jul 1 (summer).  Reports per-field max
+drift, the water-ledger closure, and the radiation closure for each
+config/season.
+
+  MCD_NCOL=1024 MCD_DAYS=15 python tools/mixed_canopy_drift.py
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/elmtpu_jaxcache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_enable_x64", True)
+
+DRIFT_FIELDS = ("t_veg", "t_grnd", "t_soisno", "h2osno", "h2ocan",
+                "h2osoi_liq", "h2osoi_ice", "snow_depth")
+
+
+def hetero_kw(ncol):
+    import numpy as np
+    i = np.arange(ncol)
+    return dict(
+        ncol=ncol,
+        lat_deg=-55.0 + 125.0 * (i % (ncol // 2)) / (ncol // 2),
+        lon_deg=(i * 360.0 / 64.0) % 360.0,
+        soil_color=(i % 20) + 1,
+        pct_sand=20.0 + (i % 7) * 8.0,
+        pct_clay=10.0 + (i % 5) * 6.0,
+        organic=2.0 + (i % 11) * 8.0,
+        vtype=[int(v) for v in (1, 12, 14, 23)] * (ncol // 4))
+
+
+def run_one(kw, start, nsteps, window, **mode):
+    import numpy as np
+    from elmkernels_tpu.driver.model import Model
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        m = Model(**kw, **mode)
+    default = jax.devices()[0]
+    if default.platform != "cpu":
+        m.state = jax.block_until_ready(jax.device_put(m.state, default))
+        m.params = jax.block_until_ready(jax.device_put(m.params, default))
+    diags = m.run_windows(start, nsteps, window=window)
+    jax.block_until_ready(m.state.t_grnd)
+    return m, jax.tree.map(np.asarray, diags)
+
+
+def main():
+    import numpy as np
+    from elmkernels_tpu.utils.dates import Date
+    if os.environ.get("MCD_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["MCD_PLATFORM"])
+    ncol = int(os.environ.get("MCD_NCOL", "1024"))
+    days = int(os.environ.get("MCD_DAYS", "15"))
+    window = int(os.environ.get("MCD_WINDOW", "240"))
+    nsteps = days * 48
+    nsteps -= nsteps % window
+    kw = hetero_kw(ncol)
+
+    results = {}
+    for season, (mm, dd) in (("winter", (1, 1)), ("summer", (7, 1))):
+        t0 = time.time()
+        m_ref, d_ref = run_one(kw, Date.from_ymd(1985, mm, dd), nsteps,
+                               window)
+        print(f"# {season} ref done in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+        for label, mode in (
+                ("mixed_canopy", dict(mixed_canopy=True)),
+                ("mixed_canopy+warm", dict(mixed_canopy=True,
+                                           warm_start=True))):
+            t0 = time.time()
+            m, d = run_one(kw, Date.from_ymd(1985, mm, dd), nsteps,
+                           window, **mode)
+            drift = {}
+            for name in DRIFT_FIELDS:
+                a = np.asarray(getattr(m_ref.state, name))
+                b = np.asarray(getattr(m.state, name))
+                drift[name] = float(np.max(np.abs(a - b)))
+            res = {
+                "drift": drift,
+                "errh2o_led_max": float(np.abs(d.errh2o_led_max).max()),
+                "errsol_max": float(np.abs(d.errsol_max).max()),
+                "errh2osno_max": float(np.abs(d.errh2osno_max).max()),
+                "eflx_sh_mean_rmse": float(np.sqrt(np.mean(
+                    (d.eflx_sh_mean - d_ref.eflx_sh_mean) ** 2))),
+                "finite": bool(np.all(np.isfinite(
+                    np.asarray(m.state.t_veg)))),
+                "wall_s": round(time.time() - t0, 1)}
+            results[f"{season}/{label}"] = res
+            print(f"# {season}/{label}: max t drift "
+                  f"{max(drift['t_veg'], drift['t_grnd'], drift['t_soisno']):.4f} K, "
+                  f"ledger {res['errh2o_led_max']:.2e}, "
+                  f"errsol {res['errsol_max']:.2e}, "
+                  f"sh rmse {res['eflx_sh_mean_rmse']:.3f} W/m2",
+                  file=sys.stderr)
+    print(json.dumps({"ncol": ncol, "days": days, "nsteps": nsteps,
+                      "results": results}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
