@@ -194,6 +194,15 @@ def main():
         "unit": "columns/s",
         "vs_baseline": 1.0,
     }))
+    # batch-scaled conservation contract (tested in test_config_guard):
+    # a shortwave-closure regression at scale fails the bench loudly
+    if mixed and not f32:
+        from elmkernels_tpu.utils.guard import errsol_bound
+        bound = errsol_bound(ncol)
+        if not errsol <= bound:
+            print(f"# CONTRACT VIOLATION: errsol_max {errsol:.3e} > "
+                  f"errsol_bound({ncol}) = {bound:.3e}", file=sys.stderr)
+            sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,28 @@ import numpy as np
 from elmkernels_tpu.utils.checkpoint import primary_vars
 
 
+def errsol_bound(ncol: int, base: float = 1.0e-5) -> float:
+    """Batch-scaled shortwave-closure contract bound for the production
+    default (mixed radiation: f32 SNICAR/two-stream inside the f64
+    step).
+
+    ``errsol`` reports the *max over ncol columns* of the f32
+    radiative-transfer roundoff, so its contract bound must grow with
+    batch size (the max of N roughly-independent roundoff errors grows
+    ~sqrt(log N)).  Calibration (TPU v5e, BASELINE.md):
+
+    - ncol=8192 homogeneous: measured ~5e-7, contract 1e-5
+    - ncol=262144 heterogeneous global grid: measured 1.5e-5 (the
+      heterogeneous regime — terminator columns at grazing solar
+      zenith — carries most of the growth; bound 1.87e-5 here)
+
+    Pure-f64 radiation (``mixed_radiation=False``) closes to ~1e-13 at
+    any batch size and does not need this scaling.
+    """
+    import math
+    return base * math.sqrt(1.0 + max(0.0, math.log2(ncol / 8192.0)) / 2.0)
+
+
 @dataclasses.dataclass
 class GuardReport:
     ok: bool
@@ -34,6 +56,13 @@ class StepGuard:
     Checking requires a device->host pull of a few scalars per step;
     set ``every`` > 1 to amortize on large runs (rollback then restores
     the last *validated* snapshot, possibly several steps back).
+
+    Works on both per-step :class:`StepDiagnostics` (full [ncol]
+    fields) and window-reduced :class:`ScanDiagnostics` (pre-reduced
+    ``*_max`` fields from ``run_scan``/``run_windows``) — the long-run
+    production loop guards per window.  Pass ``ncol`` to scale the
+    shortwave bound with batch size (:func:`errsol_bound`); an explicit
+    ``errsol_max`` overrides it.
     """
     errh2o_max: float | None = 0.1
     # closed ledger (step.advance docstring): exact to rounding, so any
@@ -43,11 +72,16 @@ class StepGuard:
     errsol_max: float | None = 1e-6
     errseb_max: float | None = None   # reference's lwrad quirk inflates it
     every: int = 1
+    ncol: int | None = None
 
     def __post_init__(self):
         self._snapshot = None
         self._step = 0
         self.failures: list[tuple[int, list[str]]] = []
+        if self.ncol is not None and self.errsol_max == 1e-6:
+            # default bound, batch-scaled (the field default is for the
+            # homogeneous small-batch case; an explicit value wins)
+            self.errsol_max = errsol_bound(self.ncol)
 
     def snapshot(self, state) -> None:
         self._snapshot = {k: np.array(v)
@@ -73,7 +107,13 @@ class StepGuard:
                             ("errseb", self.errseb_max)):
             if bound is None:
                 continue
-            v = np.max(np.abs(np.asarray(getattr(diags, name))))
+            # StepDiagnostics carries the full [ncol] field; window
+            # -reduced ScanDiagnostics carries pre-reduced "<name>_max"
+            field = getattr(diags, name,
+                            getattr(diags, name + "_max", None))
+            if field is None:
+                continue
+            v = np.max(np.abs(np.asarray(field)))
             if not v <= bound:   # catches NaN too
                 reasons.append(f"{name}={v:.3e} > {bound:g}")
 

@@ -80,3 +80,41 @@ def test_config_driven_model():
     assert model.ncol == 3
     diags = model.advance(cfg.start_date())
     assert np.all(np.isfinite(np.asarray(diags.errh2o)))
+
+
+def test_errsol_bound_scaling_law():
+    """The batch-scaled shortwave contract (VERDICT r3 item 9): pinned
+    calibration points so a formula change that would mask a scale
+    regression fails here."""
+    from elmkernels_tpu.utils.guard import errsol_bound
+    assert errsol_bound(8192) == pytest.approx(1.0e-5)
+    assert errsol_bound(1024) == pytest.approx(1.0e-5)  # no shrink below
+    # covers the measured 1.5e-5 heterogeneous 262k max with margin,
+    # but stays within 2x of the 8192 contract (a real f32-radiation
+    # regression at scale -- e.g. 1e-4 -- still fails)
+    b262k = errsol_bound(262144)
+    assert 1.5e-5 < b262k < 2.0e-5
+    b1m = errsol_bound(1048576)
+    assert b262k < b1m < 2.5e-5
+
+
+def test_guard_batch_scaled_bound_and_scan_diags():
+    """StepGuard(ncol=...) adopts the batch-scaled errsol bound and
+    validates window-reduced ScanDiagnostics (the production long-run
+    loop guards per run_windows window)."""
+    from elmkernels_tpu.utils.guard import errsol_bound
+    model = Model(ncol=4)
+    g = StepGuard(ncol=262144)
+    assert g.errsol_max == pytest.approx(errsol_bound(262144))
+    assert StepGuard(ncol=262144, errsol_max=3e-3).errsol_max == 3e-3
+
+    guard = StepGuard(ncol=4)
+    guard.snapshot(model.state)
+    diags = model.run_scan(Date.from_ymd(1985, 7, 1), 4)  # ScanDiagnostics
+    rep = guard.check(model.state, diags)
+    assert rep.ok, rep.reasons
+
+    strict = StepGuard(ncol=4, errh2o_led_max=0.0)
+    strict.snapshot(model.state)
+    rep = strict.check(model.state, diags)
+    assert not rep.ok and any("errh2o_led" in r for r in rep.reasons)
