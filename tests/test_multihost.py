@@ -48,3 +48,37 @@ def test_two_process_distributed_step():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid}: OK" in out, f"proc {pid} output:\n{out}"
+
+
+def test_two_process_series_ingest_from_shared_files(tmp_path):
+    """Production series ingest across 2 processes from a SHARED
+    month-file forcing (VERDICT r3 item 8): per-host hyperslab reads,
+    globalized series payload, 8 scan-series steps over the 2-process
+    mesh, each shard bit-identical to the single-process run."""
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from make_forcing_files import write_months
+    base = str(tmp_path / "forc_")
+    write_months(base, 1985, 7, 2, 4, 2)  # (lat=4, lon=2) = 8 cells
+
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), coord, "2", str(pid),
+             f"series:{base}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid}: OK" in out, f"proc {pid} output:\n{out}"
