@@ -6,9 +6,17 @@ TPU-native rebuild of
 shr_orb_mod.F90's shr_orb_avg_cosz) and ``day_length.cc`` (DaylengthMod).
 All functions are elementwise jnp, usable per-cell on device or host.
 
-Parity note: the reference's ``daylength`` clamps latitude with
-``max(1.0 * offset_pole, lat)`` (``day_length.cc``, likely intended
-``-1.0 *``), making my_lat always ≈ π/2; replicated for parity.
+Parity note (ledgered in PARITY.md): the reference's ``daylength``
+clamps latitude with ``max(1.0 * offset_pole, lat)``
+(``day_length.cc:30``; the Fortran original DaylengthMod.F90 has
+``max(-1._r8 * offset_pole, lat)``), making ``my_lat`` always ≈ +π/2 —
+every latitude gets the north pole's daylength (0 or 86400 s), and the
+southern hemisphere gets ``max_dayl = 0`` so the driver's
+``dayl_factor = (dayl/max_dayl)^2`` is 0/0 = **NaN** (any southern
+column NaNs out within a day of model time).  The production default
+here fixes the clamp (real daylengths at every latitude); the
+reference's quirk remains available as ``elm_clamp_quirk=True`` for
+golden-fixture parity (tests/test_misc_modules.py).
 """
 
 from __future__ import annotations
@@ -96,21 +104,28 @@ def average_cosz(latrad, lonrad, dt, jday):
     return jnp.where((ha1 > ha0) | (ha3 > ha2), val, 0.0)
 
 
-def daylength(lat, decl):
-    """Daylength in seconds.  Reference: day_length.cc (``daylength``),
-    including its latitude-clamp quirk (see module docstring)."""
+def daylength(lat, decl, elm_clamp_quirk: bool = False):
+    """Daylength in seconds.  Reference: day_length.cc (``daylength``).
+
+    The default fixes the reference's latitude-clamp typo (see module
+    docstring: with the quirk every latitude collapses to the north
+    pole's 0-or-24h daylength and southern ``dayl_factor`` is NaN);
+    ``elm_clamp_quirk=True`` reproduces ``day_length.cc:30`` exactly
+    for golden parity."""
     secs_per_radian = 13750.9871
     lat_epsilon = 10.0 * jnp.finfo(jnp.float64).eps
     pole = _PI / 2.0
     offset_pole = pole - lat_epsilon
+    sign = 1.0 if elm_clamp_quirk else -1.0
     my_lat = jnp.minimum(offset_pole,
-                         jnp.maximum(1.0 * offset_pole, lat))
+                         jnp.maximum(sign * offset_pole, lat))
     temp = jnp.clip(-(jnp.sin(my_lat) * jnp.sin(decl))
                     / (jnp.cos(my_lat) * jnp.cos(decl)), -1.0, 1.0)
     return 2.0 * secs_per_radian * jnp.arccos(temp)
 
 
-def max_daylength(lat):
+def max_daylength(lat, elm_clamp_quirk: bool = False):
     """Reference: day_length.cc (``max_daylength``)."""
-    return jnp.where(lat < 0.0, daylength(lat, -0.409571),
-                     daylength(lat, 0.409571))
+    return jnp.where(
+        lat < 0.0, daylength(lat, -0.409571, elm_clamp_quirk),
+        daylength(lat, 0.409571, elm_clamp_quirk))

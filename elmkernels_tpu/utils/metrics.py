@@ -41,5 +41,27 @@ class MetricsLogger:
         self._fh.write(json.dumps(rec) + "\n")
         return rec
 
+    def log_window(self, date, state, diags) -> dict:
+        """One JSONL record per ``run_windows`` window: diags is the
+        window-reduced :class:`ScanDiagnostics` ([nsteps_window] arrays
+        of on-device reductions); errors record the window max, fluxes
+        the window mean — the production long-run observability."""
+        rec = {"date": f"{date.year:04d}-{date.doy:03d}", "sec": date.sec,
+               "window": len(np.asarray(diags.errsol_max))}
+        for k in _ERR_FIELDS:
+            rec[k + "_max"] = float(np.max(np.abs(np.asarray(
+                getattr(diags, k + "_max")))))
+        for k, sd in (("eflx_sh_tot", "eflx_sh_mean"),
+                      ("eflx_lh_tot", "eflx_lh_mean"),
+                      ("fsa", "fsa_mean"), ("t_ref2m", "t_ref2m_mean")):
+            rec[k + "_mean"] = float(np.mean(np.asarray(getattr(diags,
+                                                                sd))))
+        rec["niters_canopy_max"] = int(np.max(np.asarray(
+            diags.niters_canopy_max)))
+        rec["h2osno_mean"] = float(np.mean(np.asarray(state.h2osno)))
+        rec["t_grnd_mean"] = float(np.mean(np.asarray(state.t_grnd)))
+        self._fh.write(json.dumps(rec) + "\n")
+        return rec
+
     def close(self):
         self._fh.close()

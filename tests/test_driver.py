@@ -132,3 +132,31 @@ def test_elm_correct_seb_closes_energy_balance():
            lambda d, s, x: hist2.append(
                float(np.max(np.abs(np.asarray(x.errseb))))))
     assert max(hist2[40:]) > 1e-3
+
+
+def test_southern_hemisphere_winter():
+    """Southern-latitude columns must survive a winter start: the
+    reference's day_length.cc:30 clamp typo makes max_dayl = 0 south of
+    the equator and dayl_factor = 0/0 = NaN (every southern column
+    NaN'd within ~1 simulated day).  The production default fixes the
+    clamp (PARITY.md); this pins real daylengths at all latitudes."""
+    import jax.numpy as jnp
+    from elmkernels_tpu.physics import solar
+
+    decl_jan = solar.declination_angle_sin(jnp.asarray(10.0))
+    lat = jnp.radians(jnp.asarray([-55.0, -20.0, 0.0, 40.0, 71.3]))
+    dayl = np.asarray(solar.daylength(lat, decl_jan))
+    mx = np.asarray(solar.max_daylength(lat))
+    # January: long days in the south, short in the north, all finite
+    assert np.all(np.isfinite(dayl)) and np.all(mx > 0.0)
+    assert dayl[0] > 16 * 3600 and dayl[3] < 12 * 3600
+    assert np.all(dayl <= mx + 1e-6)
+    # the quirk (golden parity mode) reproduces the broken values
+    mx_q = np.asarray(solar.max_daylength(lat, elm_clamp_quirk=True))
+    assert mx_q[0] == 0.0  # southern max_dayl collapses under the quirk
+
+    m = Model(ncol=3, lat_deg=-40.0, lon_deg=30.0)
+    d = m.run_scan(Date.from_ymd(1985, 1, 1), 96)
+    assert np.all(np.isfinite(np.asarray(m.state.t_grnd)))
+    assert np.all(np.isfinite(np.asarray(m.state.t_veg)))
+    assert float(np.abs(np.asarray(d.errh2o_led_max)).max()) < 1e-9

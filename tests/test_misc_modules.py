@@ -74,8 +74,10 @@ def _chain(a):
                                          a["jday"])
     decl = solar.declination_angle_sin(jnp.floor(a["jday"]))
     out["declination"] = decl
-    out["daylength"] = solar.daylength(a["latrad"] * 0.9, decl * 0.9)
-    out["max_daylength"] = solar.max_daylength(a["latrad"] * 0.9)
+    out["daylength"] = solar.daylength(a["latrad"] * 0.9, decl * 0.9,
+                                       elm_clamp_quirk=True)
+    out["max_daylength"] = solar.max_daylength(a["latrad"] * 0.9,
+                                               elm_clamp_quirk=True)
 
     isl = ini.init_snow_layers(a["snow_depth0"], False)
     out["init_snl"] = isl.snl
