@@ -188,6 +188,15 @@ def main():
     print(f"# per-step: {per_step*1e3:.2f} ms "
           f"(short {t_short:.3f}s / long {t_long:.3f}s), "
           f"errsol_max={errsol:.2e}", file=sys.stderr)
+    try:  # HBM footprint (per-chip capacity accounting, BASELINE.md)
+        ms = default.memory_stats()
+        if ms:
+            print(f"# hbm: peak {ms.get('peak_bytes_in_use', 0)/2**30:.2f}"
+                  f" GiB / {ms.get('bytes_limit', 0)/2**30:.2f} GiB limit"
+                  f" ({ms.get('peak_bytes_in_use', 0)/ncol:.0f} B/col"
+                  f" peak)", file=sys.stderr)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "full-step gridcell-columns/s per chip",
         "value": round(cols_per_s, 1),

@@ -152,6 +152,17 @@ class StabilityOut(NamedTuple):
 
 
 class _LoopState(NamedTuple):
+    """Slim while-loop carry (r4 carry slimming, VERDICT r3 items 2/6).
+
+    Only true recurrence state is carried, plus ENTRY-state snapshots
+    (``p_*``) of each column's final active iteration; the ~20
+    final-iteration output arrays the r3 loop carried (wt chains, 2m
+    profile factors, qflx/eflx) are recomputed ONCE post-loop from the
+    snapshots via the same ``_chain1``/``_chain2`` helpers the body
+    uses — identical arithmetic, ~25% less carry traffic across the
+    sequential loop boundary (the S(1) spill pairs in the r3 roofline).
+    """
+    # recurrence state (read by the next iteration)
     t_veg: jnp.ndarray
     el: jnp.ndarray
     qsatl: jnp.ndarray
@@ -160,37 +171,29 @@ class _LoopState(NamedTuple):
     qaf: jnp.ndarray
     um: jnp.ndarray
     obu: jnp.ndarray
-    dth: jnp.ndarray
-    dqh: jnp.ndarray
     delq: jnp.ndarray
     btran: jnp.ndarray
-    tlbef: jnp.ndarray
-    dt_veg: jnp.ndarray
-    dele: jnp.ndarray
     del_: jnp.ndarray
     efeb: jnp.ndarray
     obuold: jnp.ndarray
     nmozsgn: jnp.ndarray
     itlef: jnp.ndarray
     stop: jnp.ndarray
-    qflx_tran_veg: jnp.ndarray
-    qflx_evap_veg: jnp.ndarray
-    eflx_sh_veg: jnp.ndarray
-    wtg: jnp.ndarray
-    wtl0: jnp.ndarray
-    wta0: jnp.ndarray
-    wtal: jnp.ndarray
-    wtgq: jnp.ndarray
-    wtalq: jnp.ndarray
-    wtlq0: jnp.ndarray
-    wtaq0: jnp.ndarray
-    temp1: jnp.ndarray
-    temp2: jnp.ndarray
-    temp12m: jnp.ndarray
-    temp22m: jnp.ndarray
     ci: jnp.ndarray  # [2*ncol] sun|shade ci roots (warm-start carry;
     #                  dead and DCE'd by XLA when warm_start is off)
     psn_iters: jnp.ndarray  # i32 [2*ncol] accumulated inner secant iters
+    # entry snapshots of the final active iteration (output recompute)
+    p_t_veg: jnp.ndarray
+    p_qsatl: jnp.ndarray
+    p_qsatldT: jnp.ndarray
+    p_taf: jnp.ndarray
+    p_qaf: jnp.ndarray
+    p_um: jnp.ndarray
+    p_obu: jnp.ndarray
+    p_delq: jnp.ndarray
+    p_efeb: jnp.ndarray
+    p_rssun: jnp.ndarray
+    p_rssha: jnp.ndarray
 
 
 def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
@@ -242,18 +245,158 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
     # stack sun+shade: per-column traits and masks are tiled to [2*ncol]
     p2 = psn.tile_traits(p, 2)
 
+    def _chain1(um_e, obu_e, taf_e):
+        """Aerodynamic-resistance chain from iteration-entry (um, obu,
+        taf) — used per iteration by the loop body AND once post-loop
+        to recompute the final-iteration outputs (identical
+        arithmetic)."""
+        ustar = fv.friction_velocity_wind(forc_hgt_u_patch, displa, um_e,
+                                          obu_e, z0mv)
+        temp1 = fv.friction_velocity_temp(forc_hgt_t_patch, displa, obu_e,
+                                          z0hv)
+        temp2 = fv.friction_velocity_humidity(forc_hgt_q_patch,
+                                              forc_hgt_t_patch, displa,
+                                              obu_e, z0hv, z0qv, temp1)
+        ram = 1.0 / (ustar * ustar / um_e)
+        rah0 = 1.0 / (temp1 * ustar)
+        raw0 = 1.0 / (temp2 * ustar)
+        uaf = um_e * jnp.sqrt(1.0 / (ram * um_e))
+        cf_leaf = 0.01 / (jnp.sqrt(uaf) * jnp.sqrt(p.dleaf))
+        rb = 1.0 / (cf_leaf * uaf)
+
+        w = jnp.exp(-(elai + esai))
+        csoilb = c.VKC / (0.13 * (z0mg * uaf / 1.5e-5) ** 0.45)
+        ri = (c.GRAV * htop * (taf_e - t_grnd)) / (taf_e * uaf ** 2.0)
+        ricsoilc = c.CSOILC / (1.0 + ria * jnp.minimum(ri, 10.0))
+        csoilcn = jnp.where(taf_e - t_grnd > 0.0,
+                            csoilb * w + ricsoilc * (1.0 - w),
+                            csoilb * w + c.CSOILC * (1.0 - w))
+        rah1 = 1.0 / (csoilcn * uaf)
+        raw1 = rah1
+        return (ustar, temp1, temp2, rah0, raw0, rb, uaf, rah1, raw1)
+
+    def _chain2(c1, t_veg_e, qsatl_e, qsatldT_e, qaf_e, delq_e, efeb_e,
+                btran_i, rssun, rssha):
+        """Flux/energy-balance chain of one iteration from its entry
+        state + that iteration's stomatal resistances.  Returns both
+        the recurrence drivers (efe, dt_veg, wt factors) and the
+        final-iteration outputs (qflx/eflx, wt chains)."""
+        ustar, temp1, temp2, rah0, raw0, rb, uaf, rah1, raw1 = c1
+        wta = 1.0 / rah0
+        wtl = (elai + esai) / rb
+        wtg = 1.0 / rah1
+        wtshi = 1.0 / (wta + wtl + wtg)
+        wtl0 = wtl * wtshi
+        wtg0 = wtg * wtshi
+        wta0 = wta * wtshi
+        wtga = wta0 + wtg0
+        wtal = wta0 + wtl0
+
+        rppdry = jnp.where(
+            fdry > 0.0,
+            fdry * rb * (laisun / (rb + rssun) + laisha / (rb + rssha))
+            / elai, 0.0)
+
+        efpot = forc_rho * wtl * (qsatl_e - qaf_e)
+        can_tran = btran_i > btran0
+        qflx_tran_veg = jnp.where(
+            (efpot > 0.0) & can_tran, efpot * rppdry, 0.0)
+        rpp = jnp.where(efpot > 0.0,
+                        jnp.where(can_tran, rppdry + fwet, fwet), 1.0)
+        efpot_safe = jnp.where(efpot != 0.0, efpot, 1.0)
+        rpp = jnp.where(
+            efpot > 0.0,
+            jnp.minimum(rpp, (qflx_tran_veg + h2ocan / dtime) / efpot_safe),
+            rpp)
+
+        fveg = frac_veg_nosno.astype(t_veg_e.dtype)
+        wtaq = fveg / raw0
+        wtlq = fveg * (elai + esai) / rb * rpp
+        snow_depth_c = 0.05
+        fsno_dl = snow_depth / snow_depth_c
+        elai_dl = 0.5 * (1.0 - jnp.minimum(fsno_dl, 1.0))
+        rdl = (1.0 - jnp.exp(-elai_dl)) / (0.004 * uaf)
+        wtgq = jnp.where(delq_e < 0.0, fveg / (raw1 + rdl),
+                         soilbeta * fveg / (raw1 + rdl))
+        wtsqi = 1.0 / (wtaq + wtlq + wtgq)
+        wtgq0 = wtgq * wtsqi
+        wtlq0 = wtlq * wtsqi
+        wtaq0 = wtaq * wtsqi
+        wtgaq = wtaq0 + wtgq0
+        wtalq = wtaq0 + wtlq0
+        dc1 = forc_rho * c.CPAIR * wtl
+        dc2 = c.HVAP * forc_rho * wtlq
+        efsh = dc1 * (wtga * t_veg_e - wtg0 * t_grnd - wta0 * thm)
+        efe = dc2 * (wtgaq * qsatl_e - wtgq0 * qg - wtaq0 * forc_q)
+
+        # damp oscillating leaf latent heat flux
+        osc = efe * efeb_e < 0.0
+        erre = jnp.where(osc, 0.1 * efe - efe, 0.0)
+        efe = jnp.where(osc, 0.1 * efe, efe)
+
+        lw_grnd = (frac_sno * t_top_sno ** 4.0
+                   + (1.0 - frac_sno - frac_h2osfc) * t_top_soil ** 4.0
+                   + frac_h2osfc * t_h2osfc ** 4.0)
+        dt_veg = ((sabv + air + bir * t_veg_e ** 4.0 + cir * lw_grnd
+                   - efsh - efe)
+                  / (-4.0 * bir * t_veg_e ** 3.0 + dc1 * wtga
+                     + dc2 * wtgaq * qsatldT_e))
+        t_veg_n = t_veg_e + dt_veg
+        dels = dt_veg
+        del_ = jnp.abs(dels)
+        big = del_ > 1.0
+        dt_veg = jnp.where(big, dels / jnp.where(big, del_, 1.0), dt_veg)
+        t_veg_n = jnp.where(big, t_veg_e + dt_veg, t_veg_n)
+        err = jnp.where(
+            big,
+            sabv + air + bir * t_veg_e ** 3.0 * (t_veg_e + 4.0 * dt_veg)
+            + cir * lw_grnd - (efsh + dc1 * wtga * dt_veg)
+            - (efe + dc2 * wtgaq * qsatldT_e * dt_veg), 0.0)
+
+        efpot2 = forc_rho * wtl * (wtgaq * (qsatl_e + qsatldT_e * dt_veg)
+                                   - wtgq0 * qg - wtaq0 * forc_q)
+        qflx_evap_veg = rpp * efpot2
+        qflx_tran_veg = jnp.where((efpot2 > 0.0) & can_tran,
+                                  efpot2 * rppdry, 0.0)
+        ecidif = jnp.maximum(
+            0.0, qflx_evap_veg - qflx_tran_veg - h2ocan / dtime)
+        qflx_evap_veg = jnp.minimum(qflx_evap_veg,
+                                    qflx_tran_veg + h2ocan / dtime)
+        eflx_sh_veg = (efsh + dc1 * wtga * dt_veg + err + erre
+                       + c.HVAP * ecidif)
+        return dict(
+            dt_veg=dt_veg, t_veg_n=t_veg_n, del_=del_, efe=efe,
+            wtg=wtg, wtl0=wtl0, wtg0=wtg0, wta0=wta0, wtga=wtga,
+            wtal=wtal, wtgq=wtgq, wtalq=wtalq, wtlq0=wtlq0, wtaq0=wtaq0,
+            wtgq0=wtgq0, qflx_tran_veg=qflx_tran_veg,
+            qflx_evap_veg=qflx_evap_veg, eflx_sh_veg=eflx_sh_veg)
+
+    def _boost(b):
+        """Soybean btran boost, applied twice (sun then shade) exactly
+        as the reference's in-place mutation sequence does."""
+        if isinstance(soybean, bool):
+            b_sun = b
+            if soybean:
+                b_sun = jnp.minimum(1.0, b_sun * 1.25)
+            b_sha = b_sun
+            if soybean:
+                b_sha = jnp.minimum(1.0, b_sha * 1.25)
+            return b_sun, b_sha
+        bs = jnp.where(soybean, jnp.minimum(1.0, b * 1.25), b)
+        return bs, jnp.where(soybean, jnp.minimum(1.0, bs * 1.25), bs)
+
     z = jnp.zeros_like(t_grnd)
     ci_carry0 = (ci_prev if (warm_start and ci_prev is not None)
                  else jnp.concatenate([z, z]))
     s0 = _LoopState(
         t_veg=t_veg, el=el, qsatl=qsatl, qsatldT=qsatldT, taf=taf, qaf=qaf,
-        um=um, obu=obu, dth=z, dqh=z, delq=delq, btran=btran, tlbef=z,
-        dt_veg=z, dele=z, del_=z, efeb=z, obuold=z,
+        um=um, obu=obu, delq=delq, btran=btran, del_=z, efeb=z, obuold=z,
         nmozsgn=jnp.zeros_like(snl), itlef=jnp.zeros_like(snl),
-        stop=~veg, qflx_tran_veg=z, qflx_evap_veg=z, eflx_sh_veg=z,
-        wtg=z, wtl0=z, wta0=z, wtal=z, wtgq=z, wtalq=z, wtlq0=z, wtaq0=z,
-        temp1=z, temp2=z, temp12m=z, temp22m=z, ci=ci_carry0,
-        psn_iters=jnp.zeros((2 * z.shape[0],), jnp.int32))
+        stop=~veg, ci=ci_carry0,
+        psn_iters=jnp.zeros((2 * z.shape[0],), jnp.int32),
+        p_t_veg=t_veg, p_qsatl=qsatl, p_qsatldT=qsatldT, p_taf=taf,
+        p_qaf=qaf, p_um=um, p_obu=obu, p_delq=delq, p_efeb=z,
+        p_rssun=z, p_rssha=z)
 
     def cond(s: _LoopState):
         return jnp.any((s.itlef <= itmax) & ~s.stop)
@@ -261,34 +404,9 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
     def body(s: _LoopState):
         act = (s.itlef <= itmax) & ~s.stop
 
-        ustar = fv.friction_velocity_wind(forc_hgt_u_patch, displa, s.um,
-                                          s.obu, z0mv)
-        temp1 = fv.friction_velocity_temp(forc_hgt_t_patch, displa, s.obu,
-                                          z0hv)
-        temp2 = fv.friction_velocity_humidity(forc_hgt_q_patch,
-                                              forc_hgt_t_patch, displa,
-                                              s.obu, z0hv, z0qv, temp1)
-        temp12m = fv.friction_velocity_temp2m(s.obu, z0hv)
-        temp22m = fv.friction_velocity_humidity2m(s.obu, z0hv, z0qv, temp12m)
-
-        tlbef = s.t_veg
+        c1 = _chain1(s.um, s.obu, s.taf)
+        ustar, temp1, temp2, rah0, raw0, rb, uaf, rah1, raw1 = c1
         del2 = s.del_
-        ram = 1.0 / (ustar * ustar / s.um)
-        rah0 = 1.0 / (temp1 * ustar)
-        raw0 = 1.0 / (temp2 * ustar)
-        uaf = s.um * jnp.sqrt(1.0 / (ram * s.um))
-        cf_leaf = 0.01 / (jnp.sqrt(uaf) * jnp.sqrt(p.dleaf))
-        rb = 1.0 / (cf_leaf * uaf)
-
-        w = jnp.exp(-(elai + esai))
-        csoilb = c.VKC / (0.13 * (z0mg * uaf / 1.5e-5) ** 0.45)
-        ri = (c.GRAV * htop * (s.taf - t_grnd)) / (s.taf * uaf ** 2.0)
-        ricsoilc = c.CSOILC / (1.0 + ria * jnp.minimum(ri, 10.0))
-        csoilcn = jnp.where(s.taf - t_grnd > 0.0,
-                            csoilb * w + ricsoilc * (1.0 - w),
-                            csoilb * w + c.CSOILC * (1.0 - w))
-        rah1 = 1.0 / (csoilcn * uaf)
-        raw1 = rah1
 
         svpts = s.el
         eah = forc_pbot * s.qaf / 0.622
@@ -298,18 +416,7 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
         # [2*ncol] batch so the hybrid secant/Brent while_loops run once
         # per outer iteration instead of twice (per-column iteration
         # sequences — and hence results — are unchanged).
-        if isinstance(soybean, bool):
-            btran_sun = s.btran
-            if soybean:
-                btran_sun = jnp.minimum(1.0, btran_sun * 1.25)
-            btran_sha = btran_sun
-            if soybean:
-                btran_sha = jnp.minimum(1.0, btran_sha * 1.25)
-        else:
-            def boost(b):
-                return jnp.where(soybean, jnp.minimum(1.0, b * 1.25), b)
-            btran_sun = boost(s.btran)
-            btran_sha = boost(btran_sun)
+        btran_sun, btran_sha = _boost(s.btran)
         btran_i = btran_sha
 
         def cat(a, b):
@@ -329,96 +436,22 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
         rssun = psn_both.rs[:ncol]
         rssha = psn_both.rs[ncol:]
 
-        wta = 1.0 / rah0
-        wtl = (elai + esai) / rb
-        wtg = 1.0 / rah1
-        wtshi = 1.0 / (wta + wtl + wtg)
-        wtl0 = wtl * wtshi
-        wtg0 = wtg * wtshi
-        wta0 = wta * wtshi
-        wtga = wta0 + wtg0
-        wtal = wta0 + wtl0
-
-        rppdry = jnp.where(
-            fdry > 0.0,
-            fdry * rb * (laisun / (rb + rssun) + laisha / (rb + rssha))
-            / elai, 0.0)
-
-        efpot = forc_rho * wtl * (s.qsatl - s.qaf)
-        can_tran = btran_i > btran0
-        qflx_tran_veg = jnp.where(
-            (efpot > 0.0) & can_tran, efpot * rppdry, 0.0)
-        rpp = jnp.where(efpot > 0.0,
-                        jnp.where(can_tran, rppdry + fwet, fwet), 1.0)
-        efpot_safe = jnp.where(efpot != 0.0, efpot, 1.0)
-        rpp = jnp.where(
-            efpot > 0.0,
-            jnp.minimum(rpp, (qflx_tran_veg + h2ocan / dtime) / efpot_safe),
-            rpp)
-
-        fveg = frac_veg_nosno.astype(s.t_veg.dtype)
-        wtaq = fveg / raw0
-        wtlq = fveg * (elai + esai) / rb * rpp
-        snow_depth_c = 0.05
-        fsno_dl = snow_depth / snow_depth_c
-        elai_dl = 0.5 * (1.0 - jnp.minimum(fsno_dl, 1.0))
-        rdl = (1.0 - jnp.exp(-elai_dl)) / (0.004 * uaf)
-        wtgq = jnp.where(s.delq < 0.0, fveg / (raw1 + rdl),
-                         soilbeta * fveg / (raw1 + rdl))
-        wtsqi = 1.0 / (wtaq + wtlq + wtgq)
-        wtgq0 = wtgq * wtsqi
-        wtlq0 = wtlq * wtsqi
-        wtaq0 = wtaq * wtsqi
-        wtgaq = wtaq0 + wtgq0
-        wtalq = wtaq0 + wtlq0
-        dc1 = forc_rho * c.CPAIR * wtl
-        dc2 = c.HVAP * forc_rho * wtlq
-        efsh = dc1 * (wtga * s.t_veg - wtg0 * t_grnd - wta0 * thm)
-        efe = dc2 * (wtgaq * s.qsatl - wtgq0 * qg - wtaq0 * forc_q)
-
-        # damp oscillating leaf latent heat flux
-        osc = efe * s.efeb < 0.0
-        erre = jnp.where(osc, 0.1 * efe - efe, 0.0)
-        efe = jnp.where(osc, 0.1 * efe, efe)
-
-        lw_grnd = (frac_sno * t_top_sno ** 4.0
-                   + (1.0 - frac_sno - frac_h2osfc) * t_top_soil ** 4.0
-                   + frac_h2osfc * t_h2osfc ** 4.0)
-        dt_veg = ((sabv + air + bir * s.t_veg ** 4.0 + cir * lw_grnd - efsh
-                   - efe)
-                  / (-4.0 * bir * s.t_veg ** 3.0 + dc1 * wtga
-                     + dc2 * wtgaq * s.qsatldT))
-        t_veg_n = tlbef + dt_veg
-        dels = dt_veg
-        del_ = jnp.abs(dels)
-        big = del_ > 1.0
-        dt_veg = jnp.where(big, dels / jnp.where(big, del_, 1.0), dt_veg)
-        t_veg_n = jnp.where(big, tlbef + dt_veg, t_veg_n)
-        err = jnp.where(
-            big,
-            sabv + air + bir * tlbef ** 3.0 * (tlbef + 4.0 * dt_veg)
-            + cir * lw_grnd - (efsh + dc1 * wtga * dt_veg)
-            - (efe + dc2 * wtgaq * s.qsatldT * dt_veg), 0.0)
-
-        efpot2 = forc_rho * wtl * (wtgaq * (s.qsatl + s.qsatldT * dt_veg)
-                                   - wtgq0 * qg - wtaq0 * forc_q)
-        qflx_evap_veg = rpp * efpot2
-        qflx_tran_veg = jnp.where((efpot2 > 0.0) & can_tran,
-                                  efpot2 * rppdry, 0.0)
-        ecidif = jnp.maximum(
-            0.0, qflx_evap_veg - qflx_tran_veg - h2ocan / dtime)
-        qflx_evap_veg = jnp.minimum(qflx_evap_veg,
-                                    qflx_tran_veg + h2ocan / dtime)
-        eflx_sh_veg = efsh + dc1 * wtga * dt_veg + err + erre + c.HVAP * ecidif
+        c2 = _chain2(c1, s.t_veg, s.qsatl, s.qsatldT, s.qaf, s.delq,
+                     s.efeb, btran_i, rssun, rssha)
+        dt_veg, t_veg_n, del_, efe = (c2["dt_veg"], c2["t_veg_n"],
+                                      c2["del_"], c2["efe"])
 
         qs = qsat(t_veg_n, forc_pbot)
         el_n, qsatl_n, qsatldT_n = qs.es, qs.qs, qs.qsdT
 
-        taf_n = wtg0 * t_grnd + wta0 * thm + wtl0 * t_veg_n
-        qaf_n = wtlq0 * qsatl_n + wtgq0 * qg + forc_q * wtaq0
+        taf_n = c2["wtg0"] * t_grnd + c2["wta0"] * thm \
+            + c2["wtl0"] * t_veg_n
+        qaf_n = c2["wtlq0"] * qsatl_n + c2["wtgq0"] * qg \
+            + forc_q * c2["wtaq0"]
         dth = thm - taf_n
         dqh = forc_q - qaf_n
-        delq_n = wtalq * qg - wtlq0 * qsatl_n - wtaq0 * forc_q
+        delq_n = c2["wtalq"] * qg - c2["wtlq0"] * qsatl_n \
+            - c2["wtaq0"] * forc_q
         tstar = temp1 * dth
         qstar = temp2 * dqh
         thvstar = tstar * (1.0 + 0.61 * forc_q) + 0.61 * forc_th * qstar
@@ -451,41 +484,54 @@ def stability_iteration(land: c.LandType, p: psn.PFTPsnParams, dtime, snl,
             qsatl=sel(qsatl_n, s.qsatl), qsatldT=sel(qsatldT_n, s.qsatldT),
             taf=sel(taf_n, s.taf), qaf=sel(qaf_n, s.qaf),
             um=sel(um_n, s.um), obu=sel(obu_n, s.obu),
-            dth=sel(dth, s.dth), dqh=sel(dqh, s.dqh),
             delq=sel(delq_n, s.delq), btran=sel(btran_i, s.btran),
-            tlbef=sel(tlbef, s.tlbef), dt_veg=sel(dt_veg, s.dt_veg),
-            dele=sel(dele, s.dele), del_=sel(del_, s.del_),
+            del_=sel(del_, s.del_),
             efeb=sel(efeb_n, s.efeb), obuold=sel(obuold, s.obuold),
             nmozsgn=jnp.where(act, nmozsgn, s.nmozsgn),
             itlef=jnp.where(act, itlef, s.itlef),
             stop=jnp.where(act, stop_n, s.stop),
-            qflx_tran_veg=sel(qflx_tran_veg, s.qflx_tran_veg),
-            qflx_evap_veg=sel(qflx_evap_veg, s.qflx_evap_veg),
-            eflx_sh_veg=sel(eflx_sh_veg, s.eflx_sh_veg),
-            wtg=sel(wtg, s.wtg), wtl0=sel(wtl0, s.wtl0),
-            wta0=sel(wta0, s.wta0), wtal=sel(wtal, s.wtal),
-            wtgq=sel(wtgq, s.wtgq), wtalq=sel(wtalq, s.wtalq),
-            wtlq0=sel(wtlq0, s.wtlq0), wtaq0=sel(wtaq0, s.wtaq0),
-            temp1=sel(temp1, s.temp1), temp2=sel(temp2, s.temp2),
-            temp12m=sel(temp12m, s.temp12m),
-            temp22m=sel(temp22m, s.temp22m),
             ci=jnp.where(cat2(act) & (psn_both.ci_root > 0.0),
                          psn_both.ci_root, s.ci),
             psn_iters=s.psn_iters + jnp.where(cat2(act),
-                                              psn_both.ci_iters, 0))
+                                              psn_both.ci_iters, 0),
+            # entry snapshots of the final ACTIVE iteration
+            p_t_veg=sel(s.t_veg, s.p_t_veg),
+            p_qsatl=sel(s.qsatl, s.p_qsatl),
+            p_qsatldT=sel(s.qsatldT, s.p_qsatldT),
+            p_taf=sel(s.taf, s.p_taf), p_qaf=sel(s.qaf, s.p_qaf),
+            p_um=sel(s.um, s.p_um), p_obu=sel(s.obu, s.p_obu),
+            p_delq=sel(s.delq, s.p_delq), p_efeb=sel(s.efeb, s.p_efeb),
+            p_rssun=sel(rssun, s.p_rssun), p_rssha=sel(rssha, s.p_rssha))
 
     s = jax.lax.while_loop(cond, body, s0)
 
+    # recompute the final-iteration outputs ONCE from the entry
+    # snapshots (identical arithmetic to the body via _chain1/_chain2);
+    # bare columns (never active) keep the r3 behavior: zeros
+    c1f = _chain1(s.p_um, s.p_obu, s.p_taf)
+    temp12m = fv.friction_velocity_temp2m(s.p_obu, z0hv)
+    temp22m = fv.friction_velocity_humidity2m(s.p_obu, z0hv, z0qv, temp12m)
+    c2f = _chain2(c1f, s.p_t_veg, s.p_qsatl, s.p_qsatldT, s.p_qaf,
+                  s.p_delq, s.p_efeb, s.btran, s.p_rssun, s.p_rssha)
+
+    def out(x):
+        return jnp.where(veg, x, 0.0)
+
     return StabilityOut(
-        btran=s.btran, qflx_tran_veg=s.qflx_tran_veg,
-        qflx_evap_veg=s.qflx_evap_veg, eflx_sh_veg=s.eflx_sh_veg,
-        wtg=s.wtg, wtl0=s.wtl0, wta0=s.wta0, wtal=s.wtal, el=s.el,
+        btran=s.btran, qflx_tran_veg=out(c2f["qflx_tran_veg"]),
+        qflx_evap_veg=out(c2f["qflx_evap_veg"]),
+        eflx_sh_veg=out(c2f["eflx_sh_veg"]),
+        wtg=out(c2f["wtg"]), wtl0=out(c2f["wtl0"]), wta0=out(c2f["wta0"]),
+        wtal=out(c2f["wtal"]), el=s.el,
         qsatl=s.qsatl, qsatldT=s.qsatldT, taf=s.taf, qaf=s.qaf, um=s.um,
-        dth=s.dth, dqh=s.dqh, obu=s.obu, temp1=s.temp1, temp2=s.temp2,
-        temp12m=s.temp12m, temp22m=s.temp22m, tlbef=s.tlbef, delq=s.delq,
-        dt_veg=s.dt_veg, t_veg=s.t_veg, itlef=s.itlef,
-        wtgq=s.wtgq, wtalq=s.wtalq,
-        wtlq0=s.wtlq0, wtaq0=s.wtaq0, ci=s.ci, psn_iters=s.psn_iters)
+        dth=out(thm - s.taf), dqh=out(forc_q - s.qaf), obu=s.obu,
+        temp1=out(c1f[1]), temp2=out(c1f[2]),
+        temp12m=out(temp12m), temp22m=out(temp22m),
+        tlbef=out(s.p_t_veg), delq=s.delq,
+        dt_veg=out(c2f["dt_veg"]), t_veg=s.t_veg, itlef=s.itlef,
+        wtgq=out(c2f["wtgq"]), wtalq=out(c2f["wtalq"]),
+        wtlq0=out(c2f["wtlq0"]), wtaq0=out(c2f["wtaq0"]), ci=s.ci,
+        psn_iters=s.psn_iters)
 
 
 class ComputeFluxOut(NamedTuple):
