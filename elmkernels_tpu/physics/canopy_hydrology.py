@@ -180,6 +180,15 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     cap = do_capsnow != 0
     newsnow = qflx_snow_grnd * dtime
 
+    def tanh1(x):
+        """tanh clamped to <= 1: TPU emulated-f64 tanh overshoots 1.0
+        by up to ~1.4e-14, and the snow-cover update raises
+        (1 - frac_sno)^(1/n_melt) — pow of a NEGATIVE base — turning
+        the overshoot into NaN (found by the r4 global winter run on
+        v5e; CPU tanh never exceeds 1, so only TPU was affected).
+        Bit-identical wherever tanh <= 1."""
+        return jnp.minimum(1.0, jnp.tanh(x))
+
     # --- non-capsnow branch -------------------------------------------------
     # new-snow bulk density (Alta relationship)
     bifall = jnp.where(
@@ -200,11 +209,14 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     frac_sno_1 = jnp.where(has_snow & (snowmelt > 0.0), frac_sno_melt, frac_sno)
 
     # FSCA update from new snow event
-    fsno_new = 1.0 - (1.0 - jnp.tanh(accum_factor * newsnow)) * (1.0 - frac_sno_1)
+    fsno_new = 1.0 - (1.0 - tanh1(accum_factor * newsnow)) \
+        * (1.0 - frac_sno_1)
     frac_sno_2 = jnp.where(has_snow & (newsnow > 0.0), fsno_new, frac_sno_1)
     temp_intsnow = safe_div(
         h2osno + newsnow,
-        0.5 * (jnp.cos(c.ELM_PI * (1.0 - jnp.maximum(frac_sno_2, 1.e-6))
+        0.5 * (jnp.cos(c.ELM_PI
+                       * jnp.maximum(0.0, 1.0
+                                     - jnp.maximum(frac_sno_2, 1.e-6))
                        ** (1.0 / n_melt)) + 1.0))
     int_snow_2 = jnp.where(has_snow & (newsnow > 0.0),
                            jnp.minimum(1.e8, temp_intsnow), int_snow_nc)
@@ -220,7 +232,7 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     snow_depth_1 = jnp.where(has_snow, depth_upd, snow_depth)
 
     # oldfflag==1: Niu & Yang 2007 snow cover fraction
-    nyfrac = jnp.tanh(
+    nyfrac = tanh1(
         safe_div(snow_depth_1,
                  2.5 * c.ZLND
                  * jnp.minimum(800.0, safe_div(h2osno + newsnow,
@@ -235,10 +247,12 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     # --- no pre-existing snow: initialize from new snowfall ---
     fresh = (~has_snow) & (newsnow > 0.0)
     z_avg = newsnow / bifall
-    frac_fresh = jnp.tanh(accum_factor * newsnow)
+    frac_fresh = tanh1(accum_factor * newsnow)
     temp_intsnow_f = safe_div(
         h2osno + newsnow,
-        0.5 * (jnp.cos(c.ELM_PI * (1.0 - jnp.maximum(frac_fresh, 1.e-6))
+        0.5 * (jnp.cos(c.ELM_PI
+                       * jnp.maximum(0.0, 1.0
+                                     - jnp.maximum(frac_fresh, 1.e-6))
                        ** (1.0 / n_melt)) + 1.0))
     int_snow_fresh = jnp.minimum(1.e8, temp_intsnow_f)
     if c.SUBGRIDFLAG == 1 and not land.urbpoi:
@@ -246,7 +260,7 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     else:
         depth_fresh = newsnow / bifall
     # oldfflag==1 N&Y07 on fresh snow
-    nyfrac_fresh = jnp.tanh(
+    nyfrac_fresh = tanh1(
         safe_div(depth_fresh,
                  2.5 * c.ZLND
                  * jnp.minimum(800.0, safe_div(h2osno + newsnow,
