@@ -21,7 +21,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
-from elmkernels_tpu.physics.math_utils import safe_div
+from elmkernels_tpu.physics.math_utils import safe_div, \
+    safe_tanh
 
 
 class InterceptionOut(NamedTuple):
@@ -180,15 +181,6 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     cap = do_capsnow != 0
     newsnow = qflx_snow_grnd * dtime
 
-    def tanh1(x):
-        """tanh clamped to <= 1: TPU emulated-f64 tanh overshoots 1.0
-        by up to ~1.4e-14, and the snow-cover update raises
-        (1 - frac_sno)^(1/n_melt) — pow of a NEGATIVE base — turning
-        the overshoot into NaN (found by the r4 global winter run on
-        v5e; CPU tanh never exceeds 1, so only TPU was affected).
-        Bit-identical wherever tanh <= 1."""
-        return jnp.minimum(1.0, jnp.tanh(x))
-
     # --- non-capsnow branch -------------------------------------------------
     # new-snow bulk density (Alta relationship)
     bifall = jnp.where(
@@ -209,7 +201,7 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     frac_sno_1 = jnp.where(has_snow & (snowmelt > 0.0), frac_sno_melt, frac_sno)
 
     # FSCA update from new snow event
-    fsno_new = 1.0 - (1.0 - tanh1(accum_factor * newsnow)) \
+    fsno_new = 1.0 - (1.0 - safe_tanh(accum_factor * newsnow)) \
         * (1.0 - frac_sno_1)
     frac_sno_2 = jnp.where(has_snow & (newsnow > 0.0), fsno_new, frac_sno_1)
     temp_intsnow = safe_div(
@@ -232,7 +224,7 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     snow_depth_1 = jnp.where(has_snow, depth_upd, snow_depth)
 
     # oldfflag==1: Niu & Yang 2007 snow cover fraction
-    nyfrac = tanh1(
+    nyfrac = safe_tanh(
         safe_div(snow_depth_1,
                  2.5 * c.ZLND
                  * jnp.minimum(800.0, safe_div(h2osno + newsnow,
@@ -247,7 +239,7 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     # --- no pre-existing snow: initialize from new snowfall ---
     fresh = (~has_snow) & (newsnow > 0.0)
     z_avg = newsnow / bifall
-    frac_fresh = tanh1(accum_factor * newsnow)
+    frac_fresh = safe_tanh(accum_factor * newsnow)
     temp_intsnow_f = safe_div(
         h2osno + newsnow,
         0.5 * (jnp.cos(c.ELM_PI
@@ -260,7 +252,7 @@ def snow_init(land: c.LandType, dtime, do_capsnow, oldfflag, forc_t, t_grnd,
     else:
         depth_fresh = newsnow / bifall
     # oldfflag==1 N&Y07 on fresh snow
-    nyfrac_fresh = tanh1(
+    nyfrac_fresh = safe_tanh(
         safe_div(depth_fresh,
                  2.5 * c.ZLND
                  * jnp.minimum(800.0, safe_div(h2osno + newsnow,

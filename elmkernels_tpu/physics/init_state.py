@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from elmkernels_tpu import constants as c
+from elmkernels_tpu.physics.math_utils import safe_tanh
 from elmkernels_tpu.physics.math_utils import take_layer
 
 _NSNO = c.NLEVSNO
@@ -102,7 +103,7 @@ def init_snow_state(land: c.LandType, snl, snow_depth, h2osno):
         fmelt = snowbd / 100.0
         frac_sno = jnp.where(
             snow_depth > 0.0,
-            jnp.tanh(snow_depth / (2.5 * c.ZLND * fmelt)), 0.0)
+            safe_tanh(snow_depth / (2.5 * c.ZLND * fmelt)), 0.0)
     lev = jnp.arange(_NSNO)[None, :]
     active = lev >= (_NSNO - snl)[:, None]
     thin = ((snl == 0) & (h2osno > 0.0))[:, None] & (lev == _NSNO - 1)

@@ -19,6 +19,21 @@ def safe_div(num, den, cond=None, fill=0.0):
     return jnp.where(cond, num / den_safe, fill)
 
 
+def safe_tanh(x):
+    """tanh that is safe under TPU emulated f64.
+
+    On v5e the double-double tanh (a) overshoots 1.0 by up to ~1.4e-14
+    near saturation and (b) has NO range reduction: tanh(88) returns
+    0.0 and tanh(>=89) returns NaN (exp(2x) overflow inside the
+    emulation; measured r4).  Snow-cover fractions built from it then
+    feed (1-frac)^(1/n_melt) -> pow(negative) = NaN, killing every
+    snowy column.  Clamp the input to |x| <= 40 (f64 tanh(|x|>=19.06)
+    is exactly +-1.0, so this is bit-identical on every backend) and
+    the output to [-1, 1].
+    """
+    return jnp.clip(jnp.tanh(jnp.clip(x, -40.0, 40.0)), -1.0, 1.0)
+
+
 def take_layer(a, idx):
     """``a[n, L], idx[n] -> a[n, idx[n]]`` as a one-hot masked sum.
 
