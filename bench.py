@@ -20,14 +20,14 @@ Environment knobs:
   BENCH_F32    set to 1 to run single precision (default f64)
   BENCH_SCAN   1 (default): run steps inside one lax.scan executable
                (the production time loop); 0: per-step dispatch
-  BENCH_MIXED  1 (default): f64 prognostics + f32 radiative solvers —
-               the Model/RunConfig production default (drift-tested);
-               0: the reference-exact pure-f64 opt-out
-  BENCH_WARM   1: warm-start the canopy/ci solvers from the previous
-               step's converged obu/ci (opt-in perf mode; default 0 =
-               reference-exact cold-start iteration counts)
-  BENCH_MIXED_CANOPY 1: f32 canopy stability-loop interior with f64
-               prognostic handoff (opt-in; default 0)
+  BENCH_MIXED  1 (default): the full production default — f64
+               prognostics + f32 radiative solvers + f32 canopy-loop
+               interior + warm-started solvers (all drift-tested,
+               promoted r3/r4); 0: the reference-exact opt-out (pure
+               f64, cold-start iteration sequences)
+  BENCH_WARM   override warm_start alone (default follows BENCH_MIXED)
+  BENCH_MIXED_CANOPY  override mixed_canopy alone (default follows
+               BENCH_MIXED)
   BENCH_HETERO 1: heterogeneous global-style grid — per-column lat
                (55S..70N), lon, soil color/texture, and a 4-PFT mix
                (compiles the mixed C3/C4 pathway); default 0 =
@@ -59,13 +59,16 @@ def main():
     nsteps = int(os.environ.get("BENCH_STEPS", "10"))
     use_scan = os.environ.get("BENCH_SCAN", "1") == "1"
     # default = the production configuration AND the Model/RunConfig
-    # default: f64 prognostics with the SNICAR/two-stream radiative
-    # solvers in f32 (drift-tested, tests/test_mixed_radiation.py;
-    # errsol ~7e-7 W/m2 vs 1e-13 pure).  BENCH_MIXED=0 benches the
-    # reference-exact pure-f64 opt-out (Model(mixed_radiation=False)).
+    # default: f64 prognostics with f32 radiative solvers AND f32
+    # canopy-loop interior AND warm-started solvers (drift-tested:
+    # tests/test_mixed_radiation.py, test_mixed_canopy.py, and the
+    # season-scale tools/mixed_canopy_drift.py evidence).  BENCH_MIXED=0
+    # benches the reference-exact opt-out: pure-f64 solvers with
+    # cold-start iteration sequences (r2/r3 regression row).
     mixed = os.environ.get("BENCH_MIXED", "1") == "1"
-    warm = os.environ.get("BENCH_WARM", "0") == "1"
-    mixed_can = os.environ.get("BENCH_MIXED_CANOPY", "0") == "1"
+    warm = os.environ.get("BENCH_WARM", "1" if mixed else "0") == "1"
+    mixed_can = os.environ.get("BENCH_MIXED_CANOPY",
+                               "1" if mixed else "0") == "1"
 
     import jax.numpy as jnp
     import numpy as np

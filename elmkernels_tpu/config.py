@@ -61,12 +61,13 @@ class RunConfig:
     # reference-exact pure-f64 radiative solvers (errsol 1e-13)
     mixed_radiation: bool = True
     # warm-start the canopy stability / ci solvers from the previous
-    # step's converged obu/ci (opt-in: changes iteration counts, so the
-    # reference-exact default is off)
-    warm_start: bool = False
+    # step's converged obu/ci (production default, promoted r4 on
+    # season-scale drift evidence; False = reference-exact cold-start
+    # iteration sequences)
+    warm_start: bool = True
     # f32 canopy stability-loop interior with f64 prognostic handoff
-    # (opt-in perf mode; drift-tested)
-    mixed_canopy: bool = False
+    # (production default, promoted r4; False = f64 loop interior)
+    mixed_canopy: bool = True
     # pin the JAX backend (e.g. "cpu"); None = default device. The axon
     # site config overrides the JAX_PLATFORMS env var, so this must be
     # applied via jax.config after import.

@@ -228,15 +228,20 @@ class Model:
     # (surface_fluxes.update_surface_fluxes docstring); closes errseb.
     # Default False = reference-exact.
     elm_correct_seb: bool = False
-    # warm-start the canopy stability / ci solvers from the previous
-    # step's converged obu/ci (opt-in perf mode: converged physics
-    # unchanged, iteration counts — and hence last-ulp rounding — differ
-    # from the reference-exact cold-start default)
-    warm_start: bool = False
-    # run the canopy stability-loop interior in f32 with f64 prognostic
-    # handoff (opt-in perf mode; the roofline-named 1.2 ms/step hotspot
-    # — see BASELINE.md roofline r3; drift-tested)
-    mixed_canopy: bool = False
+    # PRODUCTION DEFAULT (promoted r4 on season-scale drift evidence,
+    # tools/mixed_canopy_drift.py: 15 days x {winter, summer} on the
+    # heterogeneous global grid, state drift < 0.1 K, ledger < 5e-9,
+    # radiation closures unchanged): warm-start the canopy stability /
+    # ci solvers from the previous step's converged obu/ci.  Converged
+    # physics unchanged; iteration counts — and hence last-ulp rounding
+    # — differ from the reference's cold start.  False restores
+    # reference-exact cold-start iteration sequences.
+    warm_start: bool = True
+    # PRODUCTION DEFAULT (same r4 evidence): run the canopy
+    # stability-loop interior in f32 with f64 prognostic handoff (the
+    # roofline-named 1.2 ms/step emulated-f64 hotspot, BASELINE.md
+    # roofline r3).  False restores the f64 loop interior.
+    mixed_canopy: bool = True
 
     def __post_init__(self):
         vt = np.asarray(self.vtype, np.int32)

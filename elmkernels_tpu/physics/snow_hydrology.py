@@ -77,7 +77,14 @@ def snow_water(land: c.LandType, do_capsnow, snl, dtime, frac_sno_eff,
                                    - qflx_sub_snow)[:, None] * dtime
     wgdif = jnp.where(cap, wgdif_cap, wgdif_nc)
     neg = wgdif < 0.0
-    ice = jnp.where(at_top, jnp.where(neg, 0.9, wgdif), h2osoi_ice)
+    # when sublimation exhausts the top layer's ice, ELM zeroes the ice
+    # and pushes the deficit into the liquid (SnowHydrologyMod.F90:
+    # h2osoi_ice = 0.; the reference's `h2osoi_ice(top) = 0.9`,
+    # snow_hydrology_impl.hh:303/312, is a typo of `0.` that CREATES
+    # exactly 0.9 mm of water per event — the r4 global winter run's
+    # ledger caught it as a recurring 0.9 mm/step violation; ledgered
+    # in PARITY.md)
+    ice = jnp.where(at_top, jnp.where(neg, 0.0, wgdif), h2osoi_ice)
     liq = h2osoi_liq + jnp.where(at_top & neg, wgdif, 0.0)
     liq_add_cap = -fse * qflx_evap_grnd[:, None] * dtime
     liq_add_nc = fse * (qflx_rain_grnd + qflx_dew_grnd
@@ -93,10 +100,19 @@ def snow_water(land: c.LandType, do_capsnow, snl, dtime, frac_sno_eff,
     def _zero_neg(carry, i):
         liq, running, mflx = carry
         w = jnp.take(liq, i, axis=1)
-        hit = running & (i >= top) & (w < 0.0)
+        below = i >= top
+        hit = running & below & (w < 0.0)
         liq = jnp.where((lev20[None, :] == i) & hit[:, None], 0.0, liq)
         mflx = jnp.where(hit, w / dtime, mflx)
-        return (liq, running & hit, mflx), None
+        # the reference walks i = top..NLEVSNO and breaks at the first
+        # non-negative layer (impl:317-324); rows above each column's
+        # top must NOT consume the running flag (r4 fix: the r2 scan
+        # conversion killed `running` at i=0 for any top > 0, so a
+        # negative top-layer liquid — large lagged evap debit on a thin
+        # melting pack — was never zeroed: the pack kept negative
+        # liquid and the water ledger leaked ~0.9 mm at layer events)
+        running = running & (~below | hit)
+        return (liq, running, mflx), None
 
     (liq, _, mflx_neg_snow), _ = jax.lax.scan(
         _zero_neg, (liq, top_liq < 0.0, jnp.zeros_like(h2osno)),

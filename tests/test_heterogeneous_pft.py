@@ -22,7 +22,13 @@ NSTEP = 24  # half a day: crosses night -> day under synthetic forcing
 
 
 def _run(vtype, ncol, nsteps=NSTEP):
-    m = Model(ncol=ncol, vtype=vtype)
+    # the batch-vs-homogeneous equivalence isolates the per-column PFT
+    # plumbing, so the f32 canopy modes are pinned OFF: the pure-vs-
+    # mixed-pathway compile ulps are f32-sized under the promoted
+    # default (mixed_canopy) and crossing a freeze threshold amplifies
+    # them past the f64-ulp-calibrated tolerance below
+    m = Model(ncol=ncol, vtype=vtype, mixed_canopy=False,
+              warm_start=False)
     # run_scan is bit-identical to the per-step loop
     # (test_scan_driver.test_scan_matches_loop) and ~10x cheaper on the
     # CPU suite (one dispatch per run instead of per step)

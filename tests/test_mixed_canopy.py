@@ -1,4 +1,5 @@
-"""Mixed-precision canopy loop (opt-in): the stability-loop interior —
+"""Mixed-precision canopy loop (production default since r4): the
+stability-loop interior —
 the roofline-named 1.2 ms/step emulated-f64 hotspot (BASELINE.md
 roofline r3) — runs in f32 with f64 prognostic handoff.
 
@@ -18,8 +19,10 @@ NSTEPS = 96  # 2 days across day/night transitions
 
 def test_mixed_canopy_tracks_f64():
     start = Date.from_ymd(1985, 7, 1)
-    m_ref = Model(ncol=3, lat_deg=40.0, lon_deg=255.0)
-    m_mix = Model(ncol=3, lat_deg=40.0, lon_deg=255.0, mixed_canopy=True)
+    m_ref = Model(ncol=3, lat_deg=40.0, lon_deg=255.0,
+                  mixed_canopy=False, warm_start=False)
+    m_mix = Model(ncol=3, lat_deg=40.0, lon_deg=255.0,
+                  mixed_canopy=True, warm_start=False)
     d_ref = m_ref.run_scan(start, NSTEPS)
     d_mix = m_mix.run_scan(start, NSTEPS)
 
@@ -52,7 +55,8 @@ def test_mixed_canopy_with_warm_start_tracks_f64():
     4.21 ms/step, 1.94M col/s on v5e, BASELINE.md r3) must satisfy the
     same contract jointly."""
     start = Date.from_ymd(1985, 7, 1)
-    m_ref = Model(ncol=3, lat_deg=40.0, lon_deg=255.0)
+    m_ref = Model(ncol=3, lat_deg=40.0, lon_deg=255.0,
+                  mixed_canopy=False, warm_start=False)
     m_fast = Model(ncol=3, lat_deg=40.0, lon_deg=255.0,
                    mixed_canopy=True, warm_start=True)
     d_ref = m_ref.run_scan(start, NSTEPS)

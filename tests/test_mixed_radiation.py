@@ -11,8 +11,9 @@ from elmkernels_tpu.utils.dates import Date
 
 def test_mixed_radiation_tracks_f64():
     start = Date.from_ymd(1985, 1, 1)
-    m_ref = Model(ncol=3, mixed_radiation=False)
-    m_mix = Model(ncol=3)  # production default IS mixed radiation
+    base = dict(ncol=3, mixed_canopy=False, warm_start=False)  # isolate
+    m_ref = Model(mixed_radiation=False, **base)
+    m_mix = Model(**base)  # mixed radiation (the promoted default)
     d_ref = m_ref.run_scan(start, 96)
     d_mix = m_mix.run_scan(start, 96)
 

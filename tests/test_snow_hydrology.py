@@ -226,3 +226,40 @@ def test_snow_aging_elm_correct_clamp_evolves():
     # started at 200 um; dr > 0 from the tables, so radius must grow
     assert np.all(np.asarray(fixed)[act] > 200.0)
     assert np.all(np.asarray(fixed)[act] <= c.SNW_RDS_MAX)
+
+
+def test_snow_water_zeroes_negative_top_liquid():
+    """A large lagged ground-evaporation debit on a thin melting pack
+    drives the top snow layer's liquid negative; the reference zeroes
+    it sequentially from the top and exports the deficit as
+    mflx_neg_snow (snow_hydrology_impl.hh:317-324).  The r2 scan
+    conversion killed the walk for any snl < NLEVSNO (the running flag
+    died above the top layer), leaving negative liquid in the pack and
+    a ~0.9 mm water-ledger leak at layer events (found by the r4 global
+    winter run)."""
+    import jax.numpy as jnp
+    ncol, snl_n = 2, 3
+    top = c.NLEVSNO - snl_n
+    liq = jnp.zeros((ncol, c.NLEVTOT)).at[:, top].set(0.05)
+    ice = jnp.zeros((ncol, c.NLEVTOT)).at[:, top:c.NLEVSNO].set(2.0)
+    ice = ice.at[:, c.NLEVSNO:].set(1.0)
+    dz = jnp.full((ncol, c.NLEVTOT), 0.02)
+    mss = {k: jnp.zeros((ncol, c.NLEVSNO)) for k in
+           ("bcphi", "bcpho", "dst1", "dst2", "dst3", "dst4")}
+    z1 = jnp.zeros(ncol)
+    sw = sh.snow_water(
+        c.LandType(ltype=1, ctype=1, vtype=12),
+        jnp.zeros(ncol, jnp.int32), jnp.full(ncol, snl_n), 1800.0,
+        jnp.ones(ncol),               # frac_sno_eff
+        jnp.full(ncol, 7.0),          # h2osno
+        z1,                           # qflx_sub_snow
+        jnp.full(ncol, 4.2e-4),       # qflx_evap_grnd (lagged, large)
+        z1, z1, z1,                   # dew_snow, dew_grnd, rain_grnd
+        z1, z1,                       # snomelt, snow_melt
+        jnp.full(ncol, 8.0), jnp.ones(ncol), liq, ice, mss, dz)
+    out5 = np.asarray(sw.h2osoi_liq)[:, :c.NLEVSNO]
+    assert np.all(out5 >= 0.0), out5
+    # deficit = debit (0.756) - available (0.05), exported as a flux
+    want = -(4.2e-4 * 1800.0 - 0.05) / 1800.0
+    np.testing.assert_allclose(np.asarray(sw.mflx_neg_snow), want,
+                               rtol=1e-12)

@@ -57,9 +57,10 @@ def test_warm_start_tracks_cold_and_iterates_less():
 
 
 def test_warm_state_carries_are_populated():
-    """Even in default (cold) mode the converged roots land in state, so
+    """Even with warm_start off the converged roots land in state, so
     a restart can switch warm_start on."""
-    m = Model(ncol=2, lat_deg=40.0, lon_deg=255.0)
+    m = Model(ncol=2, lat_deg=40.0, lon_deg=255.0,
+              warm_start=False)
     m.run(Date.from_ymd(1985, 7, 1, 6 * 3600), 20)
     assert np.any(np.asarray(m.state.ci_sun) > 0.0)
     assert np.any(np.asarray(m.state.obu_can) != 0.0)

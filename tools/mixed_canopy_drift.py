@@ -79,12 +79,16 @@ def main():
     results = {}
     for season, (mm, dd) in (("winter", (1, 1)), ("summer", (7, 1))):
         t0 = time.time()
+        # the comparison baseline pins the canopy modes OFF (since the
+        # r4 promotion the Model default includes them)
         m_ref, d_ref = run_one(kw, Date.from_ymd(1985, mm, dd), nsteps,
-                               window)
+                               window, mixed_canopy=False,
+                               warm_start=False)
         print(f"# {season} ref done in {time.time() - t0:.0f}s",
               file=sys.stderr)
         for label, mode in (
-                ("mixed_canopy", dict(mixed_canopy=True)),
+                ("mixed_canopy", dict(mixed_canopy=True,
+                                      warm_start=False)),
                 ("mixed_canopy+warm", dict(mixed_canopy=True,
                                            warm_start=True))):
             t0 = time.time()
