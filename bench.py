@@ -77,6 +77,14 @@ def main():
 
     # Build host-side (eager ops on a tunnel backend round-trip per op),
     # then transfer the finished pytrees to the device once.
+    # r4 methodology fix: r1-r3 re-ran ONE forcing window repeatedly,
+    # which lets warm-started solvers converge onto the window's limit
+    # cycle (iteration counts collapse; measured 0.72 ms/step vs
+    # 4.2 ms under real diurnal forcing at ncol=8192).  The bench now
+    # feeds CONSECUTIVE windows (a continuous diurnal sequence, no
+    # repetition), so every config pays real day/night solver work.
+    # The reference-exact opt-out is iteration-cold each step and
+    # measures identically under both schemes (9.86 ms, = r2/r3).
     hetero = os.environ.get("BENCH_HETERO", "0") == "1"
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -96,11 +104,19 @@ def main():
             model = Model(ncol=ncol)
         date = Date.from_ymd(1985, 7, 1, 6 * 3600)
         if use_scan:
-            forc, phen = model.stack_windows(date, nsteps)
+            # SIX consecutive windows (compile, warmup, trace, short,
+            # long x2): a continuous diurnal forcing sequence with no
+            # window ever repeated (see methodology note above)
+            windows = []
+            for _ in range(6):
+                windows.append(model.stack_windows(date, nsteps))
+                date.increment_seconds(int(model.dtime) * nsteps)
+            forc, phen = windows[0]
         else:
             forc = jax.tree.map(jnp.asarray,
                                 model.forcing.window(date, model.dtime))
             phen = jax.tree.map(jnp.asarray, model.phenology.window(date))
+            windows = [(forc, phen)] * 6
     land, psnveg, albveg, dtime = (model.land, model.psnveg, model.albveg,
                                    model.dtime)
 
@@ -141,11 +157,13 @@ def main():
     step = jax.jit(fn, donate_argnums=(4,), compiler_options=copts)
 
     args = (model.snicar, model.params, model.psnveg,
-            model.albveg, model.state, forc, phen)
+            model.albveg, model.state, windows)
     default = jax.devices()[0]
     if default.platform != "cpu":
         args = jax.block_until_ready(jax.device_put(args, default))
-    snicar, params, psnveg, albveg, state, forc, phen = args
+    snicar, params, psnveg, albveg, state, windows = args
+    wins = iter(windows)
+    forc, phen = next(wins)
 
     def pull(state):
         """Force full pipeline sync with a scalar device->host read."""
@@ -167,8 +185,12 @@ def main():
     def window(state, ncalls):
         t0 = time.time()
         for _ in range(ncalls):
+            if use_scan:
+                f, p = next(wins)   # fresh consecutive forcing
+            else:
+                f, p = forc, phen
             state, errsol = step(snicar, params, psnveg, albveg, state,
-                         forc, phen)
+                                 f, p)
         pull(state)
         return time.time() - t0, state, errsol
 
@@ -178,8 +200,10 @@ def main():
     if os.environ.get("BENCH_TRACE"):
         with jax.profiler.trace(os.environ["BENCH_TRACE"]):
             _, state, _ = window(state, 1)
+    elif use_scan:
+        next(wins)  # keep the window schedule fixed trace-or-not
 
-    ncalls = max(1, nsteps // steps_per_call)
+    ncalls = max(1, nsteps // steps_per_call) if not use_scan else 1
     t_short, state, _ = window(state, ncalls)
     t_long, state, errsol = window(state, 2 * ncalls)
     per_step = (t_long - t_short) / (ncalls * steps_per_call)
