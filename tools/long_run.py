@@ -91,9 +91,17 @@ def main():
     # errh2o is the OPEN column balance: rain exported to the external
     # hydrology model (qflx_top_soil — the ATS coupling design) shows up
     # there by construction and scales with precipitation, so it is not
-    # an invariant to guard on over a global grid with wet seasons.  The
-    # CLOSED ledger (errh2o_led, exact to rounding) is the leak detector.
-    guard = StepGuard(ncol=ncol, every=1, errh2o_max=None)
+    # an invariant to guard on over a global grid with wet seasons.
+    # errh2osno (the reference's printed snow-balance view) transiently
+    # reads 1-3 mm at layerless->layered pack transitions: it charges
+    # the CURRENT step's sublimation/evaporation while the pack is
+    # debited one step later (the reference's own one-step-lag design;
+    # measured: every excursion coincides with snl 0->N and the closed
+    # ledger stays <=1e-9 through the same events).  The CLOSED ledger
+    # (errh2o_led, exact to rounding) is the leak detector — it caught
+    # two real reference bugs this round.
+    guard = StepGuard(ncol=ncol, every=1, errh2o_max=None,
+                      errh2osno_max=None)
     guard.snapshot(model.state)
     metrics = MetricsLogger(outdir / "metrics.jsonl")
     hist_idx = np.linspace(0, ncol - 1, 64).astype(int)
@@ -170,7 +178,20 @@ def main():
         raise SystemExit(f"resume NOT bit-identical: {mism}")
 
     per_step = wall / nsteps
+    hbm = {}
+    try:
+        ms = default.memory_stats()
+        if ms:
+            hbm = {"hbm_peak_gib": round(
+                       ms.get("peak_bytes_in_use", 0) / 2**30, 2),
+                   "hbm_limit_gib": round(
+                       ms.get("bytes_limit", 0) / 2**30, 2),
+                   "hbm_peak_bytes_per_col": round(
+                       ms.get("peak_bytes_in_use", 0) / ncol)}
+    except Exception:
+        pass
     print(json.dumps({
+        **hbm,
         "ncol": ncol, "nsteps": nsteps, "window": window,
         "sim_days": nsteps * model.dtime / 86400.0,
         "wall_s": round(wall, 1), "ms_per_step": round(per_step * 1e3, 2),
