@@ -760,9 +760,19 @@ def column_phase(land: c.LandType, params: ModelParams, state: ModelState,
     capb = do_capsnow != 0
     ice_appl = jnp.where(capb, fse_sw * s.qflx_sub_snow,
                          fse_sw * (s.qflx_sub_snow - s.qflx_dew_snow))
+    # rain reaching the ground (incl. canopy drip) enters the ledger's
+    # re-charge ONLY for a layerless pack, where snow_water both stores
+    # fse*rain in the top soil row AND exports the full rain via
+    # qflx_top_soil (the double-count dbl_rain corrects below).  A
+    # LAYERED pack absorbs fse*rain into its top layer consistently
+    # with errh2o's rain charge, so re-charging it there fabricated a
+    # -fse*rain ledger error — reachable only via liquid canopy drip
+    # onto a frozen pack (caught at day 29 of the r4 262k-column
+    # winter integration, 3.9e-3 mm = exactly fse*rain_grnd*dt)
+    rain_led = jnp.where(snl_sw == 0, gf.qflx_rain_grnd, 0.0)
     liq_appl = jnp.where(capb, fse_sw * s.qflx_evap_grnd,
                          fse_sw * (s.qflx_evap_grnd - s.qflx_dew_grnd
-                                   - gf.qflx_rain_grnd))
+                                   - rain_led))
     canopy_appl = cf_stab.qflx_evap_veg - cf_stab.qflx_tran_veg
     # layerless pack: snow_water both stores fse*rain_grnd in the top
     # soil row AND exports the full rain_grnd via qflx_top_soil
