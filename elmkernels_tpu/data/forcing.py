@@ -283,6 +283,19 @@ class NetCDFForcing:
         if self.qbot_is_rh:
             names["qbot"] = "RH"
         data = {"dtime": netcdf_io.read_var(path, "DTIME")}
+        # the series layout's fixed-window padding (ntfix) assumes ONE
+        # uniform sample interval across all months; validate each
+        # loaded month against the probed interval so a mixed-cadence
+        # file set fails loudly instead of causing silent per-window
+        # shape variation and recompiles
+        if len(data["dtime"]) > 1:
+            dt_month = float(data["dtime"][1] - data["dtime"][0]) * 86400.0
+            if abs(dt_month - self.dt_forcing) > 1e-6 * self.dt_forcing:
+                raise ValueError(
+                    f"{path}: DTIME spacing {dt_month:.1f}s differs from "
+                    f"the file set's probed interval "
+                    f"{self.dt_forcing:.1f}s; month files must share one "
+                    f"uniform forcing cadence")
         for k, vname in names.items():
             data[k] = self._read_cells(path, vname)
         # bridge the month boundary: append the next month's first sample

@@ -147,9 +147,25 @@ class MinimalInterface:
             mhtop=pair(phen.htop), mhbot=pair(phen.hbot))
         forc = jax.tree.map(jnp.asarray, forc)
         phen_step = jax.tree.map(jnp.asarray, phen_step)
-        m.state, d = m._step(m.snicar, m.params, m.psnveg, m.albveg,
-                             m.state, forc, phen_step)
+        m.state, d = self._host_step(m.snicar, m.params, m.psnveg,
+                                     m.albveg, m.state, forc, phen_step)
         return self._exchange(d)
+
+    @property
+    def _host_step(self):
+        """The jitted step pinned to ``qbot_is_rh=False``: the
+        HostForcing contract says ``atm_qbot`` is already specific
+        humidity, so the host pathway must not inherit an RH->q
+        conversion baked into the model's internal forcing provider
+        (which would convert twice).  Same executable as ``m._step``
+        whenever the model's provider is already q-based."""
+        import functools
+        from elmkernels_tpu.driver.model import _jitted_step
+        m = self.model
+        return functools.partial(
+            _jitted_step, m.land, m.dtime, m.elm_correct_snow_aging,
+            m.psn_mode, False, m.mixed_radiation, m.elm_correct_seb,
+            m.warm_start, m.het_ltype, m.mixed_canopy)
 
     def get_primary_vars(self) -> dict:
         """Deep-copied restart snapshot (reference ``copyPrimaryVars``,
@@ -175,4 +191,10 @@ class MinimalInterface:
         return jax.tree.map(jnp.array, self.model.state)
 
     def restore(self, snap) -> None:
-        self.model.state = snap
+        """Restore a :meth:`snapshot`.  Copies, never aliases: every
+        jitted step donates the state argument, so aliasing ``snap``
+        into ``model.state`` would let the first post-restore advance
+        delete the snapshot's buffers — a recovery loop retrying from
+        the same snapshot twice (this API's whole purpose) would then
+        hit deleted-buffer errors on TPU/GPU."""
+        self.model.state = jax.tree.map(jnp.array, snap)

@@ -48,7 +48,9 @@ def errsol_bound(ncol: int, base: float = 2.5e-5) -> float:
 class GuardReport:
     ok: bool
     reasons: list[str]
-    rolled_back: bool
+    # a validated snapshot exists, so the caller MAY roll back via
+    # StepGuard.restore_into (check() itself never mutates state)
+    can_roll_back: bool
 
 
 @dataclasses.dataclass
@@ -77,22 +79,43 @@ class StepGuard:
     every: int = 1
     ncol: int | None = None
 
-    def __post_init__(self):
+    # sentinel default so an EXPLICIT errsol_max always wins over the
+    # ncol-batch-scaled bound (an explicit 1e-6 used to be
+    # indistinguishable from "unset" and silently replaced); the custom
+    # __init__ suppresses the dataclass-generated one
+    _ERRSOL_UNSET = object()
+
+    def __init__(self, errh2o_max=0.1, errh2o_led_max=1e-9,
+                 errh2osno_max=1e-6, errsol_max=_ERRSOL_UNSET,
+                 errseb_max=None, every=1, ncol=None):
+        self.errh2o_max = errh2o_max
+        self.errh2o_led_max = errh2o_led_max
+        self.errh2osno_max = errh2osno_max
+        self.errseb_max = errseb_max
+        self.every = every
+        self.ncol = ncol
+        if errsol_max is StepGuard._ERRSOL_UNSET:
+            # default bound: batch-scaled when ncol is known, the
+            # homogeneous small-batch figure otherwise
+            errsol_max = (errsol_bound(ncol) if ncol is not None
+                          else 1e-6)
+        self.errsol_max = errsol_max
         self._snapshot = None
         self._step = 0
         self.failures: list[tuple[int, list[str]]] = []
-        if self.ncol is not None and self.errsol_max == 1e-6:
-            # default bound, batch-scaled (the field default is for the
-            # homogeneous small-batch case; an explicit value wins)
-            self.errsol_max = errsol_bound(self.ncol)
 
     def snapshot(self, state) -> None:
         self._snapshot = {k: np.array(v)
                           for k, v in primary_vars(state).items()}
 
     def check(self, state, diags) -> GuardReport:
-        """Validate; on failure restore the snapshot into ``state``
-        (returns the possibly-rolled-back state in ``.state``)."""
+        """Validate the post-step state/diagnostics.
+
+        Never mutates ``state``: on failure the report lists the
+        tripped bounds and ``can_roll_back`` says whether a validated
+        snapshot exists — the caller decides whether to recover via
+        :meth:`restore_into`.  On success the state becomes the new
+        validated snapshot."""
         self._step += 1
         if self.every > 1 and (self._step % self.every) != 0:
             return GuardReport(True, [], False)
