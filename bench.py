@@ -10,13 +10,20 @@ The reference publishes no performance numbers (BASELINE.md): this run
 Config (BASELINE.json config 4): batched columns, full physics step,
 multi-step steady-state timing.  Sync discipline: on remote-tunnel
 backends ``block_until_ready`` can resolve at enqueue, so every timing
-window ends with a scalar device->host pull, and the per-step cost is
-the *differential* between a 2N-step and an N-step window (cancels the
-fixed pull/dispatch overhead).
+window ends with a scalar device->host pull whose fixed cost is
+measured separately (median of repeated pulls on ready state) and
+subtracted.  Estimator (r5): each scan window is timed individually
+and the headline is the best-of-two FULL DIURNAL DAYS — 48 consecutive
+1800 s steps per day — so day/night solver-iteration variance between
+windows is *covered exactly once per day* instead of landing in a
+short/long-window differential (the r4 estimator's failure mode:
+different windows have genuinely different iteration counts, so the
+differential inherited single-window variance).
 
 Environment knobs:
   BENCH_NCOL   columns (default 8192)
-  BENCH_STEPS  steps in the short window (default 10; long window is 2x)
+  BENCH_STEPS  steps per scan window (default 12; 4 windows = 1 day)
+  BENCH_DAYS   full diurnal days to time (default 2; best-of is used)
   BENCH_F32    set to 1 to run single precision (default f64)
   BENCH_SCAN   1 (default): run steps inside one lax.scan executable
                (the production time loop); 0: per-step dispatch
@@ -56,8 +63,11 @@ def main():
     if not f32:
         jax.config.update("jax_enable_x64", True)
     ncol = int(os.environ.get("BENCH_NCOL", "8192"))
-    nsteps = int(os.environ.get("BENCH_STEPS", "10"))
+    nsteps = int(os.environ.get("BENCH_STEPS", "12"))
+    ndays = int(os.environ.get("BENCH_DAYS", "2"))
     use_scan = os.environ.get("BENCH_SCAN", "1") == "1"
+    # windows per timed diurnal day: 48 half-hour steps / window length
+    wpd = max(1, round(48 / nsteps)) if use_scan else 1
     # default = the production configuration AND the Model/RunConfig
     # default: f64 prognostics with f32 radiative solvers AND f32
     # canopy-loop interior AND warm-started solvers (drift-tested:
@@ -104,11 +114,11 @@ def main():
             model = Model(ncol=ncol)
         date = Date.from_ymd(1985, 7, 1, 6 * 3600)
         if use_scan:
-            # SIX consecutive windows (compile, warmup, trace, short,
-            # long x2): a continuous diurnal forcing sequence with no
-            # window ever repeated (see methodology note above)
+            # consecutive windows (compile, warmup, trace, then
+            # ndays x wpd timed): a continuous diurnal forcing sequence
+            # with no window ever repeated (see methodology note above)
             windows = []
-            for _ in range(6):
+            for _ in range(3 + ndays * wpd):
                 windows.append(model.stack_windows(date, nsteps))
                 date.increment_seconds(int(model.dtime) * nsteps)
             forc, phen = windows[0]
@@ -116,7 +126,7 @@ def main():
             forc = jax.tree.map(jnp.asarray,
                                 model.forcing.window(date, model.dtime))
             phen = jax.tree.map(jnp.asarray, model.phenology.window(date))
-            windows = [(forc, phen)] * 6
+            windows = [(forc, phen)] * (3 + ndays * wpd)
     land, psnveg, albveg, dtime = (model.land, model.psnveg, model.albveg,
                                    model.dtime)
 
@@ -203,17 +213,43 @@ def main():
     elif use_scan:
         next(wins)  # keep the window schedule fixed trace-or-not
 
+    # fixed sync overhead: a scalar device->host pull on ready state
+    # (on the remote tunnel this is a full RTT — the constant the r4
+    # short/long differential was built to cancel, now measured
+    # directly and subtracted per window)
+    pull_samples = []
+    for _ in range(7):
+        t0 = time.time()
+        pull(state)
+        pull_samples.append(time.time() - t0)
+    pull_s = sorted(pull_samples)[len(pull_samples) // 2]
+
     ncalls = max(1, nsteps // steps_per_call) if not use_scan else 1
-    t_short, state, _ = window(state, ncalls)
-    t_long, state, errsol = window(state, 2 * ncalls)
-    per_step = (t_long - t_short) / (ncalls * steps_per_call)
-    if per_step <= 0:  # noise floor: fall back to the long window mean
-        per_step = t_long / (2 * ncalls * steps_per_call)
+    wtimes = []   # per-window wall times, pull-corrected
+    errsol_v = 0.0
+    for _ in range(ndays * wpd):
+        t_i, state, errsol = window(state, ncalls)
+        wtimes.append(max(t_i - pull_s, 0.0))
+        errsol_v = max(errsol_v, float(np.max(np.asarray(errsol))))
+    spw = ncalls * steps_per_call            # steps per window
+    steps_per_day = wpd * spw
+    day_totals = [sum(wtimes[d * wpd:(d + 1) * wpd])
+                  for d in range(ndays)]
+    # headline: best full-day total / steps-in-a-day — every diurnal
+    # phase counted exactly once per day, so window-content variance
+    # (day vs night iteration counts) cannot bias the estimate;
+    # best-of-days drops host/tunnel jitter (which only adds time),
+    # never solver work
+    per_step = min(day_totals) / steps_per_day
     cols_per_s = ncol / per_step
 
-    errsol = float(np.max(np.asarray(errsol)))
-    print(f"# per-step: {per_step*1e3:.2f} ms "
-          f"(short {t_short:.3f}s / long {t_long:.3f}s), "
+    errsol = errsol_v
+    med = sorted(wtimes)[len(wtimes) // 2] / spw
+    print(f"# per-step: {per_step*1e3:.2f} ms best-of-{ndays}-days "
+          f"(day totals {[round(t, 3) for t in day_totals]} s / "
+          f"{steps_per_day} steps each; per-window ms/step "
+          f"{[round(t / spw * 1e3, 2) for t in wtimes]}; median window "
+          f"{med*1e3:.2f}; pull {pull_s*1e3:.1f} ms), "
           f"errsol_max={errsol:.2e}", file=sys.stderr)
     try:  # HBM footprint (per-chip capacity accounting, BASELINE.md)
         ms = default.memory_stats()

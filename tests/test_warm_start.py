@@ -8,29 +8,58 @@ solver tolerance, conservation must hold, and the mean canopy iteration
 count must drop (the whole point).  VERDICT r2 item 6.
 """
 
+import jax
 import numpy as np
 
 from elmkernels_tpu.driver.model import Model
 from elmkernels_tpu.utils.dates import Date
 
-NSTEPS = 96  # 2 days: crosses day/night transitions where cold-start
-#              iteration counts spike (BASELINE.md scan-vs-steady gap)
+NSTEPS = 48  # one full simulated day per scan; the test runs two
+#              back-to-back (same compiled executable), crossing the
+#              day/night transitions where cold-start iteration counts
+#              spike (BASELINE.md scan-vs-steady gap)
+
+PROGNOSTICS = ("t_veg", "t_grnd", "t_soisno", "h2osno", "h2ocan",
+               "h2osoi_liq", "h2osoi_ice", "snl", "t_h2osfc")
 
 
 def _run(warm):
     m = Model(ncol=3, lat_deg=40.0, lon_deg=255.0, warm_start=warm)
-    d = m.run_scan(Date.from_ymd(1985, 7, 1), NSTEPS)
-    return m, d
+    d1 = m.run_scan(Date.from_ymd(1985, 7, 1), NSTEPS)
+    day1 = {k: np.asarray(getattr(m.state, k)) for k in PROGNOSTICS}
+    d2 = m.run_scan(Date.from_ymd(1985, 7, 2), NSTEPS)
+    cat = jax.tree.map(lambda a, b: np.concatenate(
+        [np.asarray(a), np.asarray(b)]), d1, d2)
+    return m, day1, cat
 
 
 def test_warm_start_tracks_cold_and_iterates_less():
-    m_cold, d_cold = _run(False)
-    m_warm, d_warm = _run(True)
+    m_cold, day1_cold, d_cold = _run(False)
+    m_warm, day1_warm, d_warm = _run(True)
 
-    # converged physics: state drift stays within solver tolerance
-    # (dtmin = 0.01 K on t_veg; water fluxes follow) — far below signal
-    for name in ("t_veg", "t_grnd", "t_soisno", "h2osno", "h2ocan",
-                 "h2osoi_liq"):
+    # warm_start is trajectory-neutral at the solver's own variables to
+    # the BIT over a full simulated day: the canopy Newton iterates
+    # t_veg to dtmin and the Monin-Obukhov length to its fixed point
+    # regardless of where the inner ci solve was seeded, so t_veg /
+    # obu_can / the snowpack land on identical bits.  The ci root
+    # itself converges only to secant tolerance, so the downstream
+    # transpiration/ground-flux chain (t_grnd, t_soisno, soil water)
+    # carries a ~1e-6-level echo of the seed — solver tolerance, not
+    # drift.  These exact assertions are the promotion argument for
+    # the production default; the iteration asserts below prove the
+    # flag is live (a dead flag would pass neutrality trivially but
+    # fail the iteration drop).
+    for name in ("t_veg", "h2osno", "snl"):
+        assert np.array_equal(day1_cold[name], day1_warm[name]), name
+    assert np.array_equal(np.asarray(m_cold.state.obu_can),
+                          np.asarray(m_warm.state.obu_can))
+    for name in PROGNOSTICS:
+        d = np.max(np.abs(day1_cold[name] - day1_warm[name]))
+        assert d < 1e-5, (name, d)
+
+    # over longer horizons the ci-tolerance echo compounds slightly;
+    # still bounded far below signal after day 2
+    for name in PROGNOSTICS:
         a = np.asarray(getattr(m_cold.state, name))
         b = np.asarray(getattr(m_warm.state, name))
         assert np.max(np.abs(a - b)) < 0.05, name
