@@ -53,6 +53,7 @@ class ScanDiagnostics(NamedTuple):
     errh2o_max: jnp.ndarray
     errh2o_led_max: jnp.ndarray
     errh2osno_max: jnp.ndarray
+    errh2osno_steady_max: jnp.ndarray
     errsol_max: jnp.ndarray
     errlon_max: jnp.ndarray
     errseb_max: jnp.ndarray
@@ -93,6 +94,7 @@ def _reduce_diags(d) -> ScanDiagnostics:
         errh2o_max=jnp.abs(d.errh2o).max(),
         errh2o_led_max=jnp.abs(d.errh2o_led).max(),
         errh2osno_max=jnp.abs(d.errh2osno).max(),
+        errh2osno_steady_max=jnp.abs(d.errh2osno_steady).max(),
         errsol_max=jnp.abs(d.errsol).max(),
         errlon_max=jnp.abs(d.errlon).max(),
         errseb_max=jnp.abs(d.errseb).max(),

@@ -67,6 +67,10 @@ class StepDiagnostics(NamedTuple):
     errh2o: jnp.ndarray
     errh2o_led: jnp.ndarray  # closed ledger (see advance); ~0 when healthy
     errh2osno: jnp.ndarray
+    # the reference's errh2osno re-timed to the fluxes snow_water
+    # actually applied, masked to snl-steady columns (see advance) —
+    # ~rounding when healthy, so a guardable invariant
+    errh2osno_steady: jnp.ndarray
     errsol: jnp.ndarray
     errlon: jnp.ndarray
     errseb: jnp.ndarray
@@ -748,6 +752,28 @@ def column_phase(land: c.LandType, params: ModelParams, state: ModelState,
         sfu.qflx_snwcp_liq, cb.qflx_sl_top_soil, frac_sno_eff,
         gf.qflx_rain_grnd, gf.qflx_snow_grnd, pc1.qflx_h2osfc_to_ice,
         h2osno, h2osno_old, dtime, do_capsnow)
+    # correctly-TIMED snow balance: errh2osno above reproduces the
+    # reference's printed view, which charges the CURRENT step's
+    # evaporative fluxes and the POST-combine snow fraction — but the
+    # pack was actually debited by snow_water with the PREVIOUS step's
+    # partition (s.qflx_*) weighted by the PRE-hydrology fse_sw
+    # (reference one-step-lag design, snow_hydrology_kokkos.cc
+    # ordering), and capped-precip diversion used ground_flux's snwcp,
+    # not surface_fluxes' evap-corrected recompute.  Re-charging the
+    # applied terms makes the snow store's balance an invariant a guard
+    # can watch on steady steps; layer-count transitions (pack
+    # creation/branch switches) remain accounting events, masked by the
+    # guard via the _steady reduction (tests/test_snow_balance_guard.py)
+    errh2osno_app = ce.snow_water_balance_error(
+        snl, s.qflx_dew_snow, s.qflx_dew_grnd, s.qflx_sub_snow,
+        s.qflx_evap_grnd, qflx_snow_melt, gf.qflx_snwcp_ice,
+        gf.qflx_snwcp_liq, cb.qflx_sl_top_soil, fse_sw,
+        gf.qflx_rain_grnd, gf.qflx_snow_grnd, pc1.qflx_h2osfc_to_ice,
+        h2osno, h2osno_old, dtime, do_capsnow)
+    # mask layer-count transitions: combine/divide/creation move mass
+    # between the layered pack and the layerless store mid-step, which
+    # the flux charge can't see; steady steps must balance
+    errh2osno_steady = jnp.where(snl == s.snl, errh2osno_app, 0.0)
     # closed water ledger: errh2o charges the CURRENT step's evap_tot +
     # snwcp_ice against the stores, but the stores were actually debited
     # with (a) the PREVIOUS step's ground-evaporation partition, weighted
@@ -823,7 +849,8 @@ def column_phase(land: c.LandType, params: ModelParams, state: ModelState,
         mflx_snowlyr=cb.mflx_snowlyr_col, mflx_neg_snow=sw.mflx_neg_snow,
         fsa=tot.fsa, fsr=fsr_out, t_ref2m=cf_cf.t_ref2m, errh2o=errh2o,
         errh2o_led=errh2o_led,
-        errh2osno=errh2osno, errsol=errsol, errlon=errlon, errseb=errseb,
+        errh2osno=errh2osno, errh2osno_steady=errh2osno_steady,
+        errsol=errsol, errlon=errlon, errseb=errseb,
         errsoi=errsoi, netrad=netrad, niters_canopy=cf_stab.itlef,
         niters_ci=(cf_stab.psn_iters[:s.snl.shape[0]]
                    + cf_stab.psn_iters[s.snl.shape[0]:]))

@@ -86,11 +86,19 @@ class StepGuard:
     _ERRSOL_UNSET = object()
 
     def __init__(self, errh2o_max=0.1, errh2o_led_max=1e-9,
-                 errh2osno_max=1e-6, errsol_max=_ERRSOL_UNSET,
-                 errseb_max=None, every=1, ncol=None):
+                 errh2osno_max=1e-6, errh2osno_steady_max=1e-7,
+                 errsol_max=_ERRSOL_UNSET, errseb_max=None, every=1,
+                 ncol=None):
         self.errh2o_max = errh2o_max
         self.errh2o_led_max = errh2o_led_max
         self.errh2osno_max = errh2osno_max
+        # the re-timed, transition-masked snow balance (StepDiagnostics
+        # .errh2osno_steady): closes to ~1e-15 when healthy (measured;
+        # tests/test_snow_balance_guard.py), so unlike the reference's
+        # printed errh2osno view it IS an invariant; 1e-7 leaves margin
+        # for batch-scaled rounding at 262k+ columns (same reasoning as
+        # the closed ledger's long-run bound)
+        self.errh2osno_steady_max = errh2osno_steady_max
         self.errseb_max = errseb_max
         self.every = every
         self.ncol = ncol
@@ -129,6 +137,8 @@ class StepGuard:
         for name, bound in (("errh2o", self.errh2o_max),
                             ("errh2o_led", self.errh2o_led_max),
                             ("errh2osno", self.errh2osno_max),
+                            ("errh2osno_steady",
+                             self.errh2osno_steady_max),
                             ("errsol", self.errsol_max),
                             ("errseb", self.errseb_max)):
             if bound is None:

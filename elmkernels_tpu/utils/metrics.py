@@ -15,8 +15,8 @@ import pathlib
 import numpy as np
 
 _FLUX_FIELDS = ("eflx_sh_tot", "eflx_lh_tot", "fsa", "t_ref2m")
-_ERR_FIELDS = ("errh2o", "errh2o_led", "errh2osno", "errsol", "errlon",
-               "errseb")
+_ERR_FIELDS = ("errh2o", "errh2o_led", "errh2osno", "errh2osno_steady",
+               "errsol", "errlon", "errseb")
 
 
 class MetricsLogger:

@@ -92,21 +92,26 @@ def main():
     # hydrology model (qflx_top_soil — the ATS coupling design) shows up
     # there by construction and scales with precipitation, so it is not
     # an invariant to guard on over a global grid with wet seasons.
-    # errh2osno (the reference's printed snow-balance view) transiently
-    # reads 1-3 mm at layerless->layered pack transitions: it charges
-    # the CURRENT step's sublimation/evaporation while the pack is
-    # debited one step later (the reference's own one-step-lag design;
-    # measured: every excursion coincides with snl 0->N and the closed
-    # ledger stays <=1e-9 through the same events).  The CLOSED ledger
-    # (errh2o_led, exact to rounding) is the leak detector — it caught
-    # two real reference bugs this round.
+    # errh2osno (the reference's printed snow-balance view) is NOT an
+    # invariant: it charges the CURRENT step's evaporative fluxes and
+    # the post-combine snow fraction while the pack was debited with
+    # the PREVIOUS step's partition at the pre-hydrology fraction (the
+    # reference's one-step-lag design), so it reads ~1e-4..4e-3 mm
+    # whenever a layered pack exists — not only at transitions, as an
+    # earlier comment here claimed (r5 measurement,
+    # tests/test_snow_balance_guard.py).  The guard instead watches
+    # errh2osno_steady — the same balance re-timed to the applied
+    # fluxes and masked on snl transitions — which closes to ~1e-15
+    # when healthy, plus the CLOSED ledger (errh2o_led), which caught
+    # two real reference bugs in r4.
     # ledger bound: the per-step max over ncol columns of f64 rounding
     # through ~45 mm rain fluxes reaches ~1e-9 at 262k columns (measured
     # 1.3e-9; 3.6e-10 at 1024).  1e-7 keeps 7 orders of margin below the
     # 0.9 mm leak class this ledger caught while not tripping on
     # batch-scaled rounding.
     guard = StepGuard(ncol=ncol, every=1, errh2o_max=None,
-                      errh2osno_max=None, errh2o_led_max=1e-7)
+                      errh2osno_max=None, errh2osno_steady_max=1e-7,
+                      errh2o_led_max=1e-7)
     guard.snapshot(model.state)
     metrics = MetricsLogger(outdir / "metrics.jsonl")
     hist_idx = np.linspace(0, ncol - 1, 64).astype(int)
