@@ -770,6 +770,17 @@ def column_phase(land: c.LandType, params: ModelParams, state: ModelState,
         gf.qflx_snwcp_liq, cb.qflx_sl_top_soil, fse_sw,
         gf.qflx_rain_grnd, gf.qflx_snow_grnd, pc1.qflx_h2osfc_to_ice,
         h2osno, h2osno_old, dtime, do_capsnow)
+    # the negative-liquid correction walk moves pack mass to the top
+    # soil row mid-step (snow_water; restored in r4) — a real pack
+    # export the reference's formula predates (first tripped by a
+    # melting tropical pack at day 8 of the r5 year run: 1.58 mm/step
+    # = exactly mflx_neg_snow*dt).  The ledger charges it; so must the
+    # snow balance: negative mflx_neg_snow is mass the walk retained in
+    # the pack against the percolation estimate, i.e. an extra source
+    # term.  (Layer-removal mass, mflx_snowlyr_col, always coincides
+    # with an snl change and is covered by the mask below.)
+    errh2osno_app = errh2osno_app + jnp.where(
+        snl > 0, sw.mflx_neg_snow * dtime, 0.0)
     # mask layer-count transitions: combine/divide/creation move mass
     # between the layered pack and the layerless store mid-step, which
     # the flux charge can't see; steady steps must balance

@@ -34,6 +34,28 @@ class DomainDecomposition:
         return self.n_local[0] * self.n_local[1]
 
 
+def column_blocks(ncol: int, n_shards: int) -> tuple[list[tuple[int, int]],
+                                                     int]:
+    """Ceil-rule column blocks for a sharded axis that may not divide
+    evenly.
+
+    XLA's ``NamedSharding`` requires the sharded dimension to be
+    divisible by the mesh axis, so the TPU-native handling of
+    ``ncol % n_shards != 0`` is to PAD the global axis to the next
+    multiple (``block * n_shards``) and ignore/mask the trailing pad
+    columns (columns are independent, so pad columns are inert
+    duplicates).  Returns ``([(lo, hi), ...], block)``: each shard's
+    half-open range over the REAL columns (``hi - lo < block`` for the
+    tail shard(s); possibly empty) plus the padded per-shard block
+    size.  The reference's MPI analog needs no padding (``utils.cc:
+    27-44`` hands rank ``p < rem`` one extra cell); here the pad is the
+    price of one static SPMD executable.
+    """
+    block = -(-ncol // n_shards)
+    return ([(min(i * block, ncol), min((i + 1) * block, ncol))
+             for i in range(n_shards)], block)
+
+
 def create_domain_decomposition_2d(n_global: tuple[int, int], nprocs: int,
                                    rank: int) -> DomainDecomposition:
     """Block-partition (nlat, nlon) over a (ny, nx) process grid

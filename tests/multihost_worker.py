@@ -21,6 +21,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# share compiled executables across the worker processes (and runs):
+# all ranks compile the same SPMD executable
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/elmtpu_jaxcache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def main():
@@ -131,13 +137,28 @@ def series_main(nproc: int, pid: int, forcing_base: str) -> None:
     from elmkernels_tpu.driver.model import Model, _jitted_scan_series
     from elmkernels_tpu.parallel import mesh as pmesh
     from elmkernels_tpu.utils.dates import Date
+    from elmkernels_tpu.utils.domain import column_blocks
 
-    ncol_global = 8
+    # MH_NCOL may be indivisible by the global device count: the padded
+    # ceil-rule blocks (column_blocks) are the TPU-native handling —
+    # NamedSharding requires divisibility, so the global axis pads to
+    # block*ndev and tail pad columns are inert edge-duplicates.
+    # MH_COL0 offsets the whole run into the grid so shard boundaries
+    # fall mid-(lat,lon)-row, exercising the partial-row hyperslab
+    # arithmetic (read_input.cc:52-87).
+    ncol_real = int(os.environ.get("MH_NCOL", "8"))
+    nlon = int(os.environ.get("MH_NLON", "2"))
+    col0_global = int(os.environ.get("MH_COL0", "0"))
     nsteps = 8
-    base, rem = divmod(ncol_global, nproc)
-    lo = pid * base + min(pid, rem)
-    hi = lo + base + (1 if pid < rem else 0)
+    ndev = jax.device_count()
+    blocks, block = column_blocks(ncol_real, ndev)
+    ndev_local = jax.local_device_count()
+    lo = blocks[pid * ndev_local][0]
+    hi = blocks[(pid + 1) * ndev_local - 1][1]
     ncol_local = hi - lo
+    pad_local = ndev_local * block - ncol_local
+    ncol_padded = block * ndev
+    assert ncol_local >= 1, "degenerate shard: raise MH_NCOL"
     start = Date.from_ymd(1985, 7, 31, 21 * 3600)  # crosses Jul->Aug
 
     # spy on the reader: every forcing-variable read must be a hyperslab
@@ -152,26 +173,39 @@ def series_main(nproc: int, pid: int, forcing_base: str) -> None:
         return orig_read(path, name, start=start, count=count)
     netcdf_io.read_var = spy
 
-    model = Model(ncol=ncol_local, col0=lo, forcing_basename=forcing_base)
+    model = Model(ncol=ncol_local, col0=col0_global + lo,
+                  forcing_basename=forcing_base)
     payload = model._host_series(start, nsteps)
     netcdf_io.read_var = orig_read
     assert reads, "no forcing reads recorded"
     for name, st, ct in reads:
         assert st is not None and ct is not None, (name, "full read")
-        # lat-row span of [lo, hi) cells on the shared (lat=4, lon=2) grid
-        nlon = 2
-        rows_needed = (hi - 1) // nlon - lo // nlon + 1
+        # lat-row span of this rank's cells on the shared grid (the
+        # global cell range [col0_global+lo, col0_global+hi) need not
+        # align to row boundaries — partial edge rows are the point)
+        c0, c1 = col0_global + lo, col0_global + hi
+        rows_needed = (c1 - 1) // nlon - c0 // nlon + 1
         assert ct[1] <= rows_needed, (name, st, ct)
 
     mesh = pmesh.column_mesh(jax.devices())
 
+    def pad_col(x, col_axis):
+        """Edge-replicate the local block to the padded shard size
+        (inert duplicate columns; columns are independent)."""
+        if pad_local == 0:
+            return np.asarray(x)
+        x = np.asarray(x)
+        tail = np.take(x, [-1] * pad_local, axis=col_axis)
+        return np.concatenate([x, tail], axis=col_axis)
+
     def globalize(x, col_axis):
         if np.ndim(x) == 0 or np.shape(x)[col_axis] != ncol_local:
             return jnp.asarray(x)  # replicated (per-step scalars, idx)
+        x = pad_col(x, col_axis)
         spec = [None] * np.ndim(x)
         spec[col_axis] = "col"
         shape = list(np.shape(x))
-        shape[col_axis] = ncol_global
+        shape[col_axis] = ncol_padded
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, P(*spec)), np.asarray(x), tuple(shape))
 
@@ -191,7 +225,8 @@ def series_main(nproc: int, pid: int, forcing_base: str) -> None:
 
     # single-process oracle: the full grid run locally (columns are
     # independent, so the distributed run must reproduce it exactly)
-    oracle = Model(ncol=ncol_global, col0=0, forcing_basename=forcing_base)
+    oracle = Model(ncol=ncol_real, col0=col0_global,
+                   forcing_basename=forcing_base)
     oracle.run_scan_series(start, nsteps)
 
     # the SPMD-partitioned 4-device executable may fuse elementwise
@@ -206,7 +241,10 @@ def series_main(nproc: int, pid: int, forcing_base: str) -> None:
         for s in leaf.addressable_shards:
             st = s.index[0].start or 0
             got = np.asarray(s.data)
-            want = want_full[st:st + got.shape[0]]
+            # trailing pad columns (st+j >= ncol_real) are inert
+            # duplicates — excluded from the oracle comparison
+            nreal = max(0, min(got.shape[0], ncol_real - st))
+            got, want = got[:nreal], want_full[st:st + nreal]
             if got.dtype.kind != "f":
                 np.testing.assert_array_equal(got, want, err_msg=name)
             else:

@@ -50,6 +50,44 @@ def test_two_process_distributed_step():
         assert f"proc {pid}: OK" in out, f"proc {pid} output:\n{out}"
 
 
+def test_four_process_uneven_series_ingest(tmp_path):
+    """4 processes x 2 devices with ncol NOT divisible by the 8-device
+    mesh (VERDICT r4 item 9): 21 real columns pad to ceil-rule blocks
+    of 3 (6/6/6/3+pad — the XLA-native handling of uneven remainders,
+    utils/domain.column_blocks), offset 2 cells into a (lat=7, lon=4)
+    grid so every rank's hyperslab starts/ends mid-row (the
+    read_input.cc:52-87 partial-row case).  Each real shard must be
+    bit-close to the single-process oracle; pad columns are inert."""
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from make_forcing_files import write_months
+    base = str(tmp_path / "forc_")
+    write_months(base, 1985, 7, 2, 7, 4)  # (lat=7, lon=4) = 28 cells
+
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update(MH_NCOL="21", MH_NLON="4", MH_COL0="2")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), coord, "4", str(pid),
+             f"series:{base}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(4)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid}: OK" in out, f"proc {pid} output:\n{out}"
+
+
 def test_two_process_series_ingest_from_shared_files(tmp_path):
     """Production series ingest across 2 processes from a SHARED
     month-file forcing (VERDICT r3 item 8): per-host hyperslab reads,

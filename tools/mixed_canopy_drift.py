@@ -34,6 +34,26 @@ jax.config.update("jax_enable_x64", True)
 DRIFT_FIELDS = ("t_veg", "t_grnd", "t_soisno", "h2osno", "h2ocan",
                 "h2osoi_liq", "h2osoi_ice", "snow_depth")
 
+# layered fields whose snow rows are physically meaningful only while
+# the layer is active (raw inactive rows hold stale/initialization
+# values; comparing them across runs whose packs bifurcated produced
+# the r4 report's non-physical "264 K drift" artifact)
+_SNOW_LAYERED = ("t_soisno", "h2osoi_liq", "h2osoi_ice")
+
+
+def field_drift(name, a, b, snl_a, snl_b):
+    """Max |a-b| over rows active in BOTH runs (soil rows always are);
+    columns whose layer counts disagree are counted separately."""
+    import numpy as np
+    d = np.abs(a - b)
+    if name in _SNOW_LAYERED and a.ndim == 2:
+        from elmkernels_tpu import constants as c
+        lay = np.arange(a.shape[1])[None, :]
+        both = ((lay >= c.NLEVSNO - snl_a[:, None])
+                & (lay >= c.NLEVSNO - snl_b[:, None]))
+        d = np.where(both, d, 0.0)
+    return float(np.max(d))
+
 
 def hetero_kw(ncol):
     import numpy as np
@@ -86,6 +106,7 @@ def main():
                                warm_start=False)
         print(f"# {season} ref done in {time.time() - t0:.0f}s",
               file=sys.stderr)
+        season_states = {}
         for label, mode in (
                 ("mixed_canopy", dict(mixed_canopy=True,
                                       warm_start=False)),
@@ -94,13 +115,21 @@ def main():
             t0 = time.time()
             m, d = run_one(kw, Date.from_ymd(1985, mm, dd), nsteps,
                            window, **mode)
+            season_states[label] = m.state
+            snl_ref = np.asarray(m_ref.state.snl)
+            snl_m = np.asarray(m.state.snl)
             drift = {}
             for name in DRIFT_FIELDS:
                 a = np.asarray(getattr(m_ref.state, name))
                 b = np.asarray(getattr(m.state, name))
-                drift[name] = float(np.max(np.abs(a - b)))
+                drift[name] = field_drift(name, a, b, snl_ref, snl_m)
             res = {
                 "drift": drift,
+                # pack-bifurcation accounting: layer-creation timing
+                # flips under any last-ulp perturbation; columns whose
+                # counts disagree are excluded from layered-row drift
+                # above and tallied here instead
+                "snl_mismatch_cols": int(np.sum(snl_ref != snl_m)),
                 "errh2o_led_max": float(np.abs(d.errh2o_led_max).max()),
                 "errsol_max": float(np.abs(d.errsol_max).max()),
                 "errh2osno_max": float(np.abs(d.errh2osno_max).max()),
@@ -116,6 +145,20 @@ def main():
                   f"errsol {res['errsol_max']:.2e}, "
                   f"sh rmse {res['eflx_sh_mean_rmse']:.3f} W/m2",
                   file=sys.stderr)
+        # the r4 report's "duplicate rows" explained: warm_start is
+        # near-trajectory-neutral (bit-identical t_veg over a day,
+        # tests/test_warm_start.py), so the two mode rows SHOULD nearly
+        # coincide.  Make that a measured claim instead of a suspicious
+        # artifact: state drift of +warm vs mixed_canopy alone.
+        a, b = (season_states["mixed_canopy"],
+                season_states["mixed_canopy+warm"])
+        snl_a, snl_b = np.asarray(a.snl), np.asarray(b.snl)
+        results[f"{season}/warm_vs_mixed"] = {
+            "drift": {name: field_drift(
+                name, np.asarray(getattr(a, name)),
+                np.asarray(getattr(b, name)), snl_a, snl_b)
+                for name in DRIFT_FIELDS},
+            "snl_mismatch_cols": int(np.sum(snl_a != snl_b))}
     print(json.dumps({"ncol": ncol, "days": days, "nsteps": nsteps,
                       "results": results}, indent=1))
 
