@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # niche all-f32 mode; mixed-precision defaults are covered in the default tier
+
 ROOT = Path(__file__).resolve().parents[1]
 STEPS = 720          # 15 days from Jan 1; final state carries snl == 3
 WINDOW = 240         # (shorter runs end near layer-creation boundaries

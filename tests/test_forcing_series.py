@@ -134,6 +134,7 @@ def _assert_states_match(sa, sb, exact):
     assert not mism, f"state fields differ: {mism}"
 
 
+@pytest.mark.slow
 def test_model_series_ingest_from_files(forcing_dir):
     """Full-model equivalence: run_scan (stacked windows) vs
     run_scan_series (series layout) from the same month files —
@@ -169,6 +170,7 @@ def test_run_windows_series_from_files(forcing_dir):
     _assert_states_match(m_a.state, m_b.state, exact=True)
 
 
+@pytest.mark.slow
 def test_series_carries_aerosol_stream(forcing_dir, tmp_path):
     """The monthly aerosol deposition stream rides in the series payload
     (the r3 NotImplementedError is gone) — equivalent to the stacked

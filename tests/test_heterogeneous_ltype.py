@@ -68,6 +68,7 @@ def test_mixed_ltype_batch_conserves_per_column(mixed):
     assert tg[1] < tg[0]
 
 
+@pytest.mark.slow
 def test_mixed_ltype_columns_match_homogeneous_runs(mixed):
     m, _ = mixed
     mixed_state = {k: np.asarray(v) for k, v in m.state._asdict().items()}

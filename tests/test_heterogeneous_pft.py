@@ -64,6 +64,7 @@ def test_psn_mode_detection():
         table, np.array(PFTS))) == "mixed"
 
 
+@pytest.mark.slow
 def test_mixed_batch_matches_homogeneous_runs():
     """Columns of a 4-PFT mixed batch track per-PFT homogeneous runs."""
     mixed = _run(PFTS, ncol=len(PFTS))

@@ -13,6 +13,8 @@ import os
 import socket
 import subprocess
 import sys
+
+import pytest
 import pathlib
 
 WORKER = pathlib.Path(__file__).parent / "multihost_worker.py"
@@ -50,6 +52,7 @@ def test_two_process_distributed_step():
         assert f"proc {pid}: OK" in out, f"proc {pid} output:\n{out}"
 
 
+@pytest.mark.slow
 def test_four_process_uneven_series_ingest(tmp_path):
     """4 processes x 2 devices with ncol NOT divisible by the 8-device
     mesh (VERDICT r4 item 9): 21 real columns pad to ceil-rule blocks
@@ -88,6 +91,7 @@ def test_four_process_uneven_series_ingest(tmp_path):
         assert f"proc {pid}: OK" in out, f"proc {pid} output:\n{out}"
 
 
+@pytest.mark.slow
 def test_two_process_series_ingest_from_shared_files(tmp_path):
     """Production series ingest across 2 processes from a SHARED
     month-file forcing (VERDICT r3 item 8): per-host hyperslab reads,

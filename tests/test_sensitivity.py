@@ -35,6 +35,7 @@ def windows(model):
     return model.stack_windows(START, NSTEPS)
 
 
+@pytest.mark.slow
 def test_forcing_jvp_matches_fd(model, windows):
     """d(fluxes)/d(T_atm): JVP vs central differences at h = 1 mK."""
     forc, phen = windows

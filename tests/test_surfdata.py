@@ -107,6 +107,7 @@ def test_read_surfdata_shard_offset(surfdata_path):
     np.testing.assert_allclose(sd.pct_sand, _profiles()[0].T[1:3])
 
 
+@pytest.mark.slow
 def test_from_surfdata_matches_homogeneous_runs(surfdata_path):
     """Each column of the surfdata-initialized batch (heterogeneous in
     lat, lon, soil color, texture AND PFT) tracks a homogeneous
