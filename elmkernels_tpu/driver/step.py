@@ -811,13 +811,20 @@ def column_phase(land: c.LandType, params: ModelParams, state: ModelState,
                          fse_sw * (s.qflx_evap_grnd - s.qflx_dew_grnd
                                    - rain_led))
     canopy_appl = cf_stab.qflx_evap_veg - cf_stab.qflx_tran_veg
-    # layerless pack: snow_water both stores fse*rain_grnd in the top
-    # soil row AND exports the full rain_grnd via qflx_top_soil
-    dbl_rain = jnp.where((snl_sw == 0) & ~capb,
-                         fse_sw * gf.qflx_rain_grnd, 0.0)
+    # Rain balance audit (r5, single-column decomposition of the year
+    # run's day-29 trip — led = exactly -fse*rain*dt on 55 layerless
+    # melting tropical packs): for a layerless pack snow_water stores
+    # fse*rain in the top soil row and exports the FULL rain via
+    # qflx_top_soil, so out must total rain - fse*rain.  qflx_top_soil
+    # contributes +rain and rain_led in liq_appl the -fse*rain; the r4
+    # `dbl_rain` term subtracted fse*rain a SECOND time, replacing the
+    # +fse*rain error it meant to fix with an equal -fse*rain one
+    # (unreachable in r4's runs, which saw no mm-scale rain on
+    # layerless packs after the fix landed).  Pinned by
+    # tests/test_driver.py::test_rain_on_layerless_pack_ledger.
     out_applied = (ice_appl + liq_appl + canopy_appl + sw.qflx_top_soil
                    + sfu.qflx_snwcp_liq + sfu.qflx_snwcp_ice
-                   + sw.mflx_neg_snow - dbl_rain)
+                   + sw.mflx_neg_snow)
     errh2o_led = errh2o - (sfu.qflx_evap_tot + sfu.qflx_snwcp_ice
                            - out_applied) * dtime
 

@@ -160,3 +160,61 @@ def test_southern_hemisphere_winter():
     assert np.all(np.isfinite(np.asarray(m.state.t_grnd)))
     assert np.all(np.isfinite(np.asarray(m.state.t_veg)))
     assert float(np.abs(np.asarray(d.errh2o_led_max)).max()) < 1e-9
+
+
+def test_rain_on_layerless_pack_ledger():
+    """Rain falling on a LAYERLESS melting snowpack must leave the
+    closed ledger at rounding (VERDICT r4 item 10 payoff: the r5 year
+    run tripped at day 29 with led = exactly -fse*rain*dt over 55
+    tropical columns — the r4 `dbl_rain` term corrected the layerless
+    rain double-count a second time, replacing the +fse*rain error it
+    fixed with an equal -fse*rain one; single-column decomposition in
+    the r5 log).  Drives exact rain through a stub forcing provider
+    onto a hand-built thin layerless pack pinned at the melting point.
+    """
+    import jax.numpy as jnp
+
+    from elmkernels_tpu.data.state import StepForcing
+
+    ncol = 2
+
+    class RainForcing:
+        qbot_is_rh = False
+        dt_forcing = 1800.0
+
+        def window(self, date, dtime):
+            def pair(v):
+                return np.full((2, ncol), v)
+            return StepForcing(
+                wt1=1.0, wt2=0.0, tbot=pair(276.0), pbot=pair(98000.0),
+                qbot=pair(0.005), flds=pair(320.0), wind=pair(3.0),
+                fsds=np.zeros(ncol), prec=np.full(ncol, 2.5e-5),
+                decday=date.decimal_doy() + 1.0)
+
+    m = Model(ncol=ncol, lat_deg=-12.5, lon_deg=344.2)
+    m.forcing = RainForcing()
+    # thin layerless pack (snl=0, h2osno>0) at the melting point, so
+    # phase change melts it while rain lands on it — the day-29 regime
+    st = m.state
+    m.state = st._replace(
+        h2osno=jnp.full(ncol, 1.2), snow_depth=jnp.full(ncol, 0.012),
+        frac_sno=jnp.full(ncol, 0.55), frac_sno_eff=jnp.full(ncol, 0.55),
+        int_snow=jnp.full(ncol, 6.7),
+        t_grnd=jnp.full(ncol, 273.15),
+        t_soisno=jnp.asarray(np.concatenate(
+            [np.full((ncol, 5), 273.15),
+             np.asarray(st.t_soisno)[:, 5:]], axis=1)))
+
+    date = Date.from_ymd(1985, 1, 29, 6 * 3600)
+    led_max = 0.0
+    rain_on_layerless = False
+    for _ in range(12):
+        d = m.advance(date)
+        led_max = max(led_max, float(np.abs(np.asarray(d.errh2o_led)).max()))
+        if (int(np.asarray(m.state.snl).max()) == 0
+                and float(np.asarray(m.state.h2osno).max()) > 0.0):
+            rain_on_layerless = True
+        date.increment_seconds(int(m.dtime))
+
+    assert rain_on_layerless  # the regime was actually exercised
+    assert led_max < 1e-9, led_max
