@@ -56,32 +56,53 @@ def main():
     captured = {}
     orig_stab = cfx.stability_iteration
     orig_psn = psn.photosynthesis
+    # the eager capture step must run on the HOST CPU: eagerly stepping
+    # on a remote-tunnel accelerator round-trips per op
+    cap_cpu = jax.devices("cpu")[0]
 
     def spy_stab(*a, **kw):
         captured.setdefault("stab", (a, kw))
         return orig_stab(*a, **kw)
 
     def spy_psn(*a, **kw):
-        captured.setdefault("psn", (a, kw))
+        # called INSIDE the stability while_loop, so args are tracers:
+        # record shapes/dtypes only (values don't affect compile time)
+        def shp(x):
+            return ((x.shape, x.dtype)
+                    if hasattr(x, "shape") and hasattr(x, "dtype") else x)
+        captured.setdefault("psn", (jax.tree.map(shp, a, is_leaf=lambda
+                                                 x: not isinstance(
+                                                     x, (tuple, list))),
+                                    {k: shp(v) for k, v in kw.items()}))
         return orig_psn(*a, **kw)
 
     cfx.stability_iteration = spy_stab
     psn.photosynthesis = spy_psn
-    try:  # ONE EAGER step: concrete arrays land in `captured`
-        step_mod.advance(model.land, model.psnveg, model.albveg,
-                         model.snicar, model.params, model.state, forc,
-                         phen, model.dtime, psn_mode=model.psn_mode)
+    try:  # ONE EAGER step on host CPU: concrete arrays land in `captured`
+        with jax.default_device(cap_cpu):
+            step_mod.advance(model.land, model.psnveg, model.albveg,
+                             model.snicar, model.params, model.state,
+                             forc, phen, model.dtime,
+                             psn_mode=model.psn_mode)
     finally:
         cfx.stability_iteration = orig_stab
         psn.photosynthesis = orig_psn
     assert "stab" in captured and "psn" in captured
 
     def concrete(x):
-        return (jnp.asarray(np.asarray(x))
-                if isinstance(x, jax.Array) else x)
+        if isinstance(x, tuple) and len(x) == 2 and hasattr(x[1], "kind"):
+            shape, dtype = x
+            return (jnp.ones(shape, dtype) if np.dtype(dtype).kind == "f"
+                    else jnp.ones(shape, dtype))
+        return jnp.asarray(np.asarray(x)) if isinstance(x, jax.Array) \
+            else x
 
-    sa, skw = jax.tree.map(concrete, captured["stab"])
-    pa, pkw = jax.tree.map(concrete, captured["psn"])
+    is_leaf = (lambda x: isinstance(x, jax.Array)
+               or (isinstance(x, tuple) and len(x) == 2
+                   and hasattr(x[1], "kind")))
+    sa, skw = jax.tree.map(concrete, captured["stab"], is_leaf=is_leaf)
+    pa = jax.tree.map(concrete, captured["psn"][0], is_leaf=is_leaf)
+    pkw = {k: concrete(v) for k, v in captured["psn"][1].items()}
 
     def probe(name, thunk):
         jax.clear_caches()
