@@ -35,6 +35,8 @@ Environment knobs:
   BENCH_WARM   override warm_start alone (default follows BENCH_MIXED)
   BENCH_MIXED_CANOPY  override mixed_canopy alone (default follows
                BENCH_MIXED)
+  BENCH_PACKED 1: dtype-fused scan-carry buffers (Model.packed_carry;
+               r5 roofline lever, opt-in)
   BENCH_HETERO 1: heterogeneous global-style grid — per-column lat
                (55S..70N), lon, soil color/texture, and a 4-PFT mix
                (compiles the mixed C3/C4 pathway); default 0 =
@@ -112,6 +114,8 @@ def main():
             model = Model.from_surfdata(ensure_surfdata(ncol), ncol)
         else:
             model = Model(ncol=ncol)
+        if os.environ.get("BENCH_PACKED", "0") == "1":
+            model.packed_carry = True
         date = Date.from_ymd(1985, 7, 1, 6 * 3600)
         if use_scan:
             # consecutive windows (compile, warmup, trace, then

@@ -22,6 +22,7 @@ from elmkernels_tpu.data import params as params_mod
 from elmkernels_tpu.data.state import (ModelParams, ModelState, StepForcing,
                                        StepPhenology, cold_start)
 from elmkernels_tpu.driver import step as step_mod
+from elmkernels_tpu.utils import packing
 from elmkernels_tpu.utils.dates import Date
 
 DEFAULT_PFT_PATH = "/root/reference/test/data/clm_params_c180524.nc"
@@ -66,27 +67,49 @@ class ScanDiagnostics(NamedTuple):
     niters_ci_mean: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
-                   donate_argnums=(14,))
+@functools.partial(jax.jit,
+                   static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
+                   donate_argnums=(15,))
 def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
-                 seb_fix, warm, het_lt, mixed_can, snicar, params, psnveg,
-                 albveg, state, forc_stack, phen_stack):
+                 seb_fix, warm, het_lt, mixed_can, packed, snicar, params,
+                 psnveg, albveg, state, forc_stack, phen_stack):
     """K timesteps inside ONE executable via ``lax.scan`` — amortizes
     dispatch (the dominant cost at small batch on a remote-tunnel
     backend) and lets XLA overlap steps' epilogue/prologue.  The
     reference has no analog: its time loop is host-side
-    (``kokkos_driver.cc:50-85``), one kernel volley per step."""
-    def body(st, fp):
+    (``kokkos_driver.cc:50-85``), one kernel volley per step.
+
+    ``packed=True`` carries the state across the scan boundary as a few
+    dtype-fused buffers instead of ~41 separate leaves (bit-identical;
+    see :mod:`elmkernels_tpu.utils.packing`)."""
+    def step(st, fp):
         forc, phen = fp
-        st, d = step_mod.advance(land, psnveg, albveg, snicar, params, st,
-                                 forc, phen, dtime,
-                                 elm_correct_snow_aging=aging_fix,
-                                 psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
-                                 mixed_radiation=mixed_rad,
-                                 elm_correct_seb=seb_fix, warm_start=warm,
-                                 het_ltype=het_lt, mixed_canopy=mixed_can)
-        return st, _reduce_diags(d)
-    return jax.lax.scan(body, state, (forc_stack, phen_stack))
+        return step_mod.advance(land, psnveg, albveg, snicar, params, st,
+                                forc, phen, dtime,
+                                elm_correct_snow_aging=aging_fix,
+                                psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
+                                mixed_radiation=mixed_rad,
+                                elm_correct_seb=seb_fix, warm_start=warm,
+                                het_ltype=het_lt, mixed_canopy=mixed_can)
+    return _scan_state(step, state, (forc_stack, phen_stack), packed)
+
+
+def _scan_state(step, state, xs, packed):
+    """``lax.scan`` of ``step`` over the state carry, optionally packed
+    into per-dtype fused buffers across the loop boundary."""
+    if not packed:
+        def body(st, x):
+            st, d = step(st, x)
+            return st, _reduce_diags(d)
+        return jax.lax.scan(body, state, xs)
+    template = [(a.shape, a.dtype) for a in state]
+    cls = type(state)
+
+    def body(carry, x):
+        st, d = step(packing.unpack_tree(carry, template, cls), x)
+        return packing.pack_tree(st), _reduce_diags(d)
+    carry, diags = jax.lax.scan(body, packing.pack_tree(state), xs)
+    return packing.unpack_tree(carry, template, cls), diags
 
 
 def _reduce_diags(d) -> ScanDiagnostics:
@@ -107,12 +130,14 @@ def _reduce_diags(d) -> ScanDiagnostics:
         niters_ci_mean=d.niters_ci.mean())
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
-                   donate_argnums=(14,))
+@functools.partial(jax.jit,
+                   static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
+                   donate_argnums=(15,))
 def _jitted_scan_series(land, dtime, aging_fix, psn_mode, qbot_is_rh,
                         mixed_rad, seb_fix, warm, het_lt, mixed_can,
-                        snicar, params, psnveg, albveg, state, series,
-                        steps, phen_uniq, phen_steps, aero_uniq=None):
+                        packed, snicar, params, psnveg, albveg, state,
+                        series, steps, phen_uniq, phen_steps,
+                        aero_uniq=None):
     """K timesteps over a forcing SERIES: the raw forcing-grid samples
     ([nt, ncol], loop-invariant) plus tiny per-step bracket
     indices/weights, with the bracketing-pair gathers done ON DEVICE in
@@ -126,7 +151,7 @@ def _jitted_scan_series(land, dtime, aging_fix, psn_mode, qbot_is_rh,
     monthly interpolation shares the phenology bracket index/weights
     (both are ``monthly_data_weights`` streams) and runs on device with
     the same f64 multiply-add as the host ``_attach_aero`` path."""
-    def body(st, xs):
+    def step(st, xs):
         sc, (pidx, pwt1, pwt2) = xs
 
         def row(a, i):
@@ -150,15 +175,14 @@ def _jitted_scan_series(land, dtime, aging_fix, psn_mode, qbot_is_rh,
             msai=row(phen_uniq.msai, pidx),
             mhtop=row(phen_uniq.mhtop, pidx),
             mhbot=row(phen_uniq.mhbot, pidx))
-        st, d = step_mod.advance(land, psnveg, albveg, snicar, params, st,
-                                 forc, phen, dtime,
-                                 elm_correct_snow_aging=aging_fix,
-                                 psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
-                                 mixed_radiation=mixed_rad,
-                                 elm_correct_seb=seb_fix, warm_start=warm,
-                                 het_ltype=het_lt, mixed_canopy=mixed_can)
-        return st, _reduce_diags(d)
-    return jax.lax.scan(body, state, (steps, phen_steps))
+        return step_mod.advance(land, psnveg, albveg, snicar, params, st,
+                                forc, phen, dtime,
+                                elm_correct_snow_aging=aging_fix,
+                                psn_mode=psn_mode, qbot_is_rh=qbot_is_rh,
+                                mixed_radiation=mixed_rad,
+                                elm_correct_seb=seb_fix, warm_start=warm,
+                                het_ltype=het_lt, mixed_canopy=mixed_can)
+    return _scan_state(step, state, (steps, phen_steps), packed)
 
 
 @dataclasses.dataclass
@@ -244,6 +268,14 @@ class Model:
     # roofline-named 1.2 ms/step emulated-f64 hotspot, BASELINE.md
     # roofline r3).  False restores the f64 loop interior.
     mixed_canopy: bool = True
+    # Opt-in (r5): carry the state across the lax.scan boundary as a
+    # few dtype-fused [ncol, K] buffers instead of ~41 separate leaves,
+    # attacking the r5 roofline's named limiter (per-leaf HBM<->VMEM
+    # staging copy pairs at the scan step; BASELINE.md roofline r5).
+    # State bit-identical over short horizons; at season scale a
+    # last-ulp fusion-contraction difference can appear in one carried
+    # flux (see utils/packing.py; tests/test_packed_carry.py).
+    packed_carry: bool = False
 
     def __post_init__(self):
         vt = np.asarray(self.vtype, np.int32)
@@ -457,8 +489,9 @@ class Model:
             self.land, self.dtime, self.elm_correct_snow_aging,
             self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
             self.mixed_radiation, self.elm_correct_seb, self.warm_start,
-            self.het_ltype, self.mixed_canopy, self.snicar, self.params,
-            self.psnveg, self.albveg, self.state, forc_stack, phen_stack)
+            self.het_ltype, self.mixed_canopy, self.packed_carry,
+            self.snicar, self.params, self.psnveg, self.albveg,
+            self.state, forc_stack, phen_stack)
         return diags
 
     def _phen_stack(self, start: Date, nsteps: int):
@@ -534,9 +567,9 @@ class Model:
             self.land, self.dtime, self.elm_correct_snow_aging,
             self.psn_mode, getattr(self.forcing, "qbot_is_rh", False),
             self.mixed_radiation, self.elm_correct_seb, self.warm_start,
-            self.het_ltype, self.mixed_canopy, self.snicar, self.params,
-            self.psnveg, self.albveg, self.state, ser, steps, phen_uniq,
-            phen_steps, aero_uniq)
+            self.het_ltype, self.mixed_canopy, self.packed_carry,
+            self.snicar, self.params, self.psnveg, self.albveg,
+            self.state, ser, steps, phen_uniq, phen_steps, aero_uniq)
         return diags
 
     def host_windows(self, start: Date, nsteps: int):
@@ -603,7 +636,8 @@ class Model:
                    self.psn_mode,
                    getattr(self.forcing, "qbot_is_rh", False),
                    self.mixed_radiation, self.elm_correct_seb,
-                   self.warm_start, self.het_ltype, self.mixed_canopy)
+                   self.warm_start, self.het_ltype, self.mixed_canopy,
+                   self.packed_carry)
         ex = cf.ThreadPoolExecutor(max_workers=1)
         try:
             date = start.copy()

@@ -219,8 +219,9 @@ def series_main(nproc: int, pid: int, forcing_base: str) -> None:
         model.land, model.dtime, model.elm_correct_snow_aging,
         model.psn_mode, model.forcing.qbot_is_rh, model.mixed_radiation,
         model.elm_correct_seb, model.warm_start, model.het_ltype,
-        model.mixed_canopy, model.snicar, params, model.psnveg,
-        model.albveg, state, ser, steps, phen_uniq, phen_steps, aero)
+        model.mixed_canopy, model.packed_carry, model.snicar, params,
+        model.psnveg, model.albveg, state, ser, steps, phen_uniq,
+        phen_steps, aero)
     jax.block_until_ready(new_state)
 
     # single-process oracle: the full grid run locally (columns are

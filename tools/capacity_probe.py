@@ -77,8 +77,9 @@ def main():
             model.land, model.dtime, model.elm_correct_snow_aging,
             model.psn_mode, False, model.mixed_radiation,
             model.elm_correct_seb, model.warm_start, model.het_ltype,
-            model.mixed_canopy, model.snicar, model.params, model.psnveg,
-            model.albveg, state, ser, steps, phen_uniq, phen_steps, aero)
+            model.mixed_canopy, model.packed_carry, model.snicar,
+            model.params, model.psnveg, model.albveg, state, ser, steps,
+            phen_uniq, phen_steps, aero)
 
     t0 = time.time()
     state, diags = run(model.state)

@@ -121,7 +121,8 @@ def bench_files(ncol: int, window: int, nwin: int):
     statics = (m_pre.land, m_pre.dtime, m_pre.elm_correct_snow_aging,
                m_pre.psn_mode, getattr(m_pre.forcing, "qbot_is_rh", False),
                m_pre.mixed_radiation, m_pre.elm_correct_seb,
-               m_pre.warm_start, m_pre.het_ltype, m_pre.mixed_canopy)
+               m_pre.warm_start, m_pre.het_ltype, m_pre.mixed_canopy,
+               m_pre.packed_carry)
     t0 = time.time()
     for ser, steps, (pu, psx), au in payloads:
         m_pre.state, _ = _jitted_scan_series(
@@ -220,7 +221,7 @@ def main():
             model.psn_mode, getattr(model.forcing, "qbot_is_rh", False),
             model.mixed_radiation, model.elm_correct_seb,
             model.warm_start, model.het_ltype, model.mixed_canopy,
-            model.snicar, model.params,
+            model.packed_carry, model.snicar, model.params,
             model.psnveg, model.albveg, model.state, f, p)
     pull()
     t_scan = (time.time() - t0) / (nwin * window)
