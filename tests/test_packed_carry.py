@@ -48,6 +48,56 @@ def test_scan_packed_bit_identical():
                                rtol=0, atol=1e-15)
 
 
+def test_packed_sharded_scan_col_sharding():
+    """On an 8-device column mesh the packed carry must (a) match the
+    UNPACKED run under the same GSPMD partitioning bit-for-bit (the
+    packing contract, isolated from partitioning's own last-ulp fusion
+    noise vs a single-device run) and (b) leave every output leaf
+    'col'-sharded — the dtype-fused [ncol, K] buffers concatenate along
+    the NON-column axis, so the shard layout must survive the scan."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from elmkernels_tpu.driver.model import _jitted_scan_series
+    from elmkernels_tpu.parallel import mesh as pmesh
+
+    ncol, nsteps = 16, 3
+    start = Date.from_ymd(1985, 7, 1, 12 * 3600)
+    m = Model(ncol=ncol, lat_deg=40.0, lon_deg=0.0)
+    payload_host = m._host_series(start, nsteps)
+    mesh = pmesh.column_mesh(jax.devices()[:8])
+    params = pmesh.shard_params(mesh, m.params, ncol)
+
+    def payload_spec(x):
+        shp = np.shape(x)
+        if shp and shp[-1] == ncol:
+            return NamedSharding(mesh,
+                                 P(*([None] * (len(shp) - 1)), "col"))
+        return NamedSharding(mesh, P())
+    ser, steps, (phen_uniq, phen_steps), aero = jax.device_put(
+        payload_host, jax.tree.map(payload_spec, payload_host))
+
+    out = {}
+    for packed in (False, True):
+        state = pmesh.shard_state(mesh, m.state)  # fresh (donated)
+        new_state, _ = _jitted_scan_series(
+            m.land, m.dtime, m.elm_correct_snow_aging, m.psn_mode,
+            False, m.mixed_radiation, m.elm_correct_seb, m.warm_start,
+            m.het_ltype, m.mixed_canopy, packed, m.snicar, params,
+            m.psnveg, m.albveg, state, ser, steps, phen_uniq,
+            phen_steps, aero)
+        jax.block_until_ready(new_state)
+        out[packed] = new_state
+
+    unsharded = [f"{n}:{leaf.sharding.spec}"
+                 for n, leaf in zip(out[True]._fields, out[True])
+                 if len(leaf.sharding.spec) == 0
+                 or leaf.sharding.spec[0] != "col"]
+    assert not unsharded, f"leaves lost col sharding: {unsharded}"
+    _assert_states_equal(out[False], out[True], "sharded packed scan")
+
+
 def test_scan_series_packed_bit_identical():
     start = Date.from_ymd(1985, 7, 1, 6 * 3600)
     a = Model(ncol=4)
