@@ -68,6 +68,9 @@ class RunConfig:
     # f32 canopy stability-loop interior with f64 prognostic handoff
     # (production default, promoted r4; False = f64 loop interior)
     mixed_canopy: bool = True
+    # dtype-fused scan-carry buffers (opt-in perf mode; see
+    # Model.packed_carry / utils/packing.py)
+    packed_carry: bool = False
     # pin the JAX backend (e.g. "cpu"); None = default device. The axon
     # site config overrides the JAX_PLATFORMS env var, so this must be
     # applied via jax.config after import.
@@ -101,7 +104,8 @@ class RunConfig:
                                   elm_correct_seb=self.elm_correct_seb,
                                   mixed_radiation=self.mixed_radiation,
                                   warm_start=self.warm_start,
-                                  mixed_canopy=self.mixed_canopy)
+                                  mixed_canopy=self.mixed_canopy,
+                                  packed_carry=self.packed_carry)
         if self.surfdata_path is not None:
             return Model.from_surfdata(self.surfdata_path, self.ncol, **kw)
         return Model(ncol=self.ncol, vtype=self.vtype,
