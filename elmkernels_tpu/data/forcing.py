@@ -200,7 +200,7 @@ class NetCDFForcing:
                  "prec": "PRECTmms"}
 
     def __init__(self, basename: str, ncol: int, lat_r, lon_r,
-                 col0: int = 0):
+                 col0: int = 0, ship_source_dtype: bool = True):
         self.basename = basename
         self.ncol = ncol
         self.col0 = col0
@@ -208,6 +208,13 @@ class NetCDFForcing:
         self.lon_r = np.asarray(lon_r)
         self._cache: dict[tuple[int, int], dict] = {}
         self.qbot_is_rh = self._probe_humidity()
+        # ship the series payload at SOURCE precision: variables stored
+        # on disk as NC_FLOAT with no scale/offset packing carry exactly
+        # 32 bits/value, so the series H2D bytes halve losslessly — the
+        # f64 host read is a round-trip identity over the f32 values and
+        # the device promotes after the bracket gather
+        # (netcdf_io.var_packing; tests/test_forcing_series.py)
+        self.ship_source_dtype = ship_source_dtype
 
     def _probe_humidity(self) -> bool:
         """QBOT-or-RH discovery from any existing forcing file (static:
@@ -298,6 +305,13 @@ class NetCDFForcing:
                     f"uniform forcing cadence")
         for k, vname in names.items():
             data[k] = self._read_cells(path, vname)
+        # which variables this month stores as exact f32 (on-disk
+        # NC_FLOAT, no scale/offset packing) — the set of vars whose
+        # cached f64 rows can be demoted back to f32 losslessly for
+        # source-precision series shipping
+        data["f32_exact"] = frozenset(
+            k for k, vname in names.items()
+            if netcdf_io.var_packing(path, vname) == ("f4", 1.0, 0.0))
         # bridge the month boundary: append the next month's first sample
         # so the last in-month interval has its right bracket (reference
         # windows are continuous in global time, atm_data_impl.hh:100-130)
@@ -387,8 +401,10 @@ class NetCDFForcing:
         keys = list(self.VAR_NAMES)
         rows = {k: [] for k in keys}
         offsets, off = {}, 0
+        ship = set(keys) if self.ship_source_dtype else set()
         for i, (y, m) in enumerate(months):
             data = self._load_month(y, m)
+            ship &= data["f32_exact"]
             n = data["tbot"].shape[0]
             take = n if i == len(months) - 1 else \
                 n - (1 if data["has_bridge"] else 0)
@@ -408,6 +424,14 @@ class NetCDFForcing:
         # of the month) and window-sized payloads share a shape
         # regardless of where in a month they fall
         cat = {k: v[imin:int(idx1.max()) + 2] for k, v in cat.items()}
+        # demote ship-safe variables back to their on-disk f32 (exact:
+        # every month in the span stores them as unpacked NC_FLOAT, so
+        # the cached f64 values originated as f32 and the round trip is
+        # an identity); the device promotes after the bracket gather, so
+        # trajectories are bit-identical while those variables' H2D
+        # payload halves
+        for k in ship:
+            cat[k] = cat[k].astype(np.float32)
         return (ForcingSeries(**cat),
                 SeriesSteps(idx1=(idx1 - imin).astype(np.int32),
                             wt1=np.asarray([x[3] for x in info]),

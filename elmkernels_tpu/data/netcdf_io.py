@@ -61,6 +61,32 @@ def read_var(path_or_file, name: str, start=None, count=None) -> np.ndarray:
     return arr
 
 
+def var_packing(path: str, name: str) -> tuple[str, float, float]:
+    """On-disk storage of a variable: (numpy dtype string, scale, off).
+
+    Lets ingest ship data at *source precision*: a variable stored as
+    NC_FLOAT with no scale/offset packing carries exactly 32 bits of
+    information per value, so shipping it as f32 and promoting on
+    device is bit-identical to the host's f64 read (f64->f32->f64 is a
+    round-trip identity for values that originated as f32).  Returns
+    dtype "other" for non-float storage (packed shorts etc.)."""
+    _NC_DTYPE = {5: "f4", 6: "f8"}
+    if isinstance(path, str):
+        from elmkernels_tpu.io import native
+        if native.available():
+            with native.NativeNetCDF(path) as f:
+                dt = _NC_DTYPE.get(f.var_type(name), "other")
+                scale = f.attr(name, "scale_factor")
+                off = f.attr(name, "add_offset")
+            return (dt, 1.0 if scale is None else float(scale),
+                    0.0 if off is None else float(off))
+    f = open_nc(path)
+    v = f.variables[name]
+    tc = {"f": "f4", "d": "f8"}.get(v.typecode(), "other")
+    return (tc, float(getattr(v, "scale_factor", 1.0)),
+            float(getattr(v, "add_offset", 0.0)))
+
+
 def get_dimensions(path: str, name: str) -> tuple[int, ...]:
     f = open_nc(path)
     return tuple(int(d) for d in f.variables[name].shape)

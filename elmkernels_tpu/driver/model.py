@@ -80,8 +80,8 @@ def _jitted_scan(land, dtime, aging_fix, psn_mode, qbot_is_rh, mixed_rad,
     (``kokkos_driver.cc:50-85``), one kernel volley per step.
 
     ``packed=True`` carries the state across the scan boundary as a few
-    dtype-fused buffers instead of ~41 separate leaves (bit-identical;
-    see :mod:`elmkernels_tpu.utils.packing`)."""
+    dtype-fused buffers instead of ~41 separate leaves (exactness
+    contract in :mod:`elmkernels_tpu.utils.packing`)."""
     def step(st, fp):
         forc, phen = fp
         return step_mod.advance(land, psnveg, albveg, snicar, params, st,
@@ -155,8 +155,15 @@ def _jitted_scan_series(land, dtime, aging_fix, psn_mode, qbot_is_rh,
         sc, (pidx, pwt1, pwt2) = xs
 
         def row(a, i):
-            return jax.lax.dynamic_index_in_dim(a, i, axis=0,
-                                                keepdims=False)
+            # promote AFTER the gather: series vars may ship at source
+            # precision (on-disk f32, data/forcing.py ship_source_dtype)
+            # — promoting the two gathered bracket rows reproduces the
+            # host's f64 read bit-for-bit at half the H2D bytes
+            r = jax.lax.dynamic_index_in_dim(a, i, axis=0,
+                                             keepdims=False)
+            ft = jnp.result_type(float)  # f64; f32 when x64 is off
+            return r.astype(ft) if (r.dtype != ft
+                                    and r.dtype.kind == "f") else r
 
         def pair(a):
             return jnp.stack([row(a, sc.idx1), row(a, sc.idx1 + 1)])

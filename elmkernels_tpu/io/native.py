@@ -44,6 +44,8 @@ def _load():
             ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_double)]
         lib.elmio_get_att.restype = ctypes.c_int
+        lib.elmio_var_type.argtypes = [ctypes.c_int, ctypes.c_char_p]
+        lib.elmio_var_type.restype = ctypes.c_int
         lib.elmio_read_f64.argtypes = [
             ctypes.c_int, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -112,6 +114,11 @@ class NativeNetCDF:
         if nd < 0:
             raise KeyError(name)
         return tuple(dims[i] for i in range(nd))
+
+    def var_type(self, name: str) -> int:
+        """On-disk NetCDF type id (NC_FLOAT=5, NC_DOUBLE=6, ...);
+        negative if unknown."""
+        return self._lib.elmio_var_type(self._h, name.encode())
 
     def attr(self, var: str, att: str) -> float | None:
         out = ctypes.c_double()

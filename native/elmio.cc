@@ -300,6 +300,17 @@ int elmio_var_ndims(int h, const char* name, int64_t* dims) {
   return -1;
 }
 
+// on-disk NetCDF type of a variable (NC_BYTE=1 .. NC_DOUBLE=6);
+// negative on error.  Lets callers ship data at source precision
+// (an f32 variable read as f64 carries no extra information).
+int elmio_var_type(int h, const char* name) {
+  File* f = get(h);
+  if (!f) return -1;
+  for (const auto& v : f->vars)
+    if (v.name == name) return v.nc_type;
+  return -2;
+}
+
 // read attribute (scale_factor/add_offset etc.); returns 0 on success
 int elmio_get_att(int h, const char* var, const char* att, double* out) {
   File* f = get(h);

@@ -66,6 +66,34 @@ def test_series_across_month_boundary(forcing_dir):
                       24)
 
 
+def test_series_ships_source_precision(forcing_dir, tmp_path):
+    """Series payload rides at SOURCE precision: f32-on-disk variables
+    (no scale/offset) ship as f32 — exactly the file's information
+    content, half the H2D bytes — while f64-stored file sets keep f64;
+    ship_source_dtype=False restores f64 shipping with an identical
+    trajectory (the demote/promote round trip is value-exact, asserted
+    in _series_vs_window against the f64 window() path)."""
+    start = Date.from_ymd(1985, 7, 10, 6 * 3600)
+    kw = dict(lat_r=np.zeros(NCELL), lon_r=np.zeros(NCELL))
+    f32 = NetCDFForcing(forcing_dir, NCELL, **kw)
+    ser32, _ = f32.series(start, 8, 1800.0)
+    assert ser32.tbot.dtype == np.float32  # generator writes NC_FLOAT
+    assert ser32.prec.dtype == np.float32
+
+    off = NetCDFForcing(forcing_dir, NCELL, ship_source_dtype=False,
+                        **kw)
+    ser64, _ = off.series(start, 8, 1800.0)
+    assert ser64.tbot.dtype == np.float64
+    np.testing.assert_array_equal(ser32.tbot.astype(np.float64),
+                                  ser64.tbot)
+
+    base64 = str(tmp_path / "f64_")
+    write_months(base64, 1985, 7, 1, NLAT, NLON, dtype=np.float64)
+    f64 = NetCDFForcing(base64, NCELL, **kw)
+    ser, _ = f64.series(start, 8, 1800.0)
+    assert ser.tbot.dtype == np.float64  # f64 storage: nothing to save
+
+
 def test_series_dt_forcing_probe(forcing_dir):
     f = NetCDFForcing(forcing_dir, NCELL, lat_r=np.zeros(NCELL),
                       lon_r=np.zeros(NCELL))
