@@ -19,29 +19,40 @@ import numpy as np
 from elmkernels_tpu.utils.checkpoint import primary_vars
 
 
-def errsol_bound(ncol: int, base: float = 2.5e-5) -> float:
-    """Batch-scaled shortwave-closure contract bound for the production
-    default (mixed radiation: f32 SNICAR/two-stream inside the f64
-    step).
+def errsol_bound(ncol: int, nsteps: int = 48,
+                 base: float = 2.5e-5) -> float:
+    """Batch- and horizon-scaled shortwave-closure contract bound for
+    the production default (mixed radiation: f32 SNICAR/two-stream
+    inside the f64 step).
 
     ``errsol`` reports the *max over ncol columns* of the f32
-    radiative-transfer roundoff, so its contract bound must grow with
-    batch size (the max of N roughly-independent roundoff errors grows
-    ~sqrt(log N)).  Calibration (TPU v5e + CPU, BASELINE.md):
+    radiative-transfer roundoff; a guarded run requires every checked
+    window's max below the bound, so over a long run the statistic is
+    effectively the max over ``ncol * nsteps`` samples.  The max of N
+    roughly-independent roundoff errors grows ~sqrt(log N), hence the
+    bound scales in the TOTAL sample count relative to the calibration
+    scale (8192 columns x one 48-step window).  Calibration (TPU v5e +
+    CPU, BASELINE.md):
 
     - ncol=8192 homogeneous Utqiagvik July: measured ~5e-7
-    - ncol=262144 heterogeneous global grid, July: measured 1.5e-5
-      (terminator columns at grazing solar zenith)
+    - ncol=262144 heterogeneous global grid, July, one 48-step window:
+      measured 1.5e-5 (terminator columns at grazing solar zenith);
+      bound 4.7e-5 (unchanged from the pre-nsteps form at nsteps=48)
     - ncol=128 global grid, JANUARY (southern-summer peak sun — the
       worst regime; only reachable after the r4 daylength fix):
       measured 1.9e-5 over 10 days — this sets the base, 2.5e-5
+    - ncol=262144 global grid, 80-day winter->spring integration (r5):
+      running max 3.8e-5 and rising seasonally — above what a single
+      48-step July window ever shows, which is what motivated the
+      nsteps term (draws of the window max accumulate over a run)
 
     A real f32-radiation regression (1e-4+) fails at every size.
     Pure-f64 radiation (``mixed_radiation=False``) closes to ~1e-13 at
     any batch size and does not need this scaling.
     """
     import math
-    return base * math.sqrt(1.0 + max(0.0, math.log2(ncol / 8192.0)) / 2.0)
+    n = ncol * nsteps / (8192.0 * 48.0)
+    return base * math.sqrt(1.0 + max(0.0, math.log2(n)) / 2.0)
 
 
 @dataclasses.dataclass

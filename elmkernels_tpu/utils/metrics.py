@@ -46,7 +46,9 @@ class MetricsLogger:
         window-reduced :class:`ScanDiagnostics` ([nsteps_window] arrays
         of on-device reductions); errors record the window max, fluxes
         the window mean — the production long-run observability."""
-        rec = {"date": f"{date.year:04d}-{date.doy:03d}", "sec": date.sec,
+        import time
+        rec = {"ts": round(time.time(), 3),
+               "date": f"{date.year:04d}-{date.doy:03d}", "sec": date.sec,
                "window": len(np.asarray(diags.errsol_max))}
         for k in _ERR_FIELDS:
             rec[k + "_max"] = float(np.max(np.abs(np.asarray(

@@ -96,6 +96,16 @@ def test_errsol_bound_scaling_law():
     assert 1.9e-5 < b262k < 5.0e-5
     b1m = errsol_bound(1048576)
     assert b262k < b1m < 6.0e-5
+    # horizon term (r5): a guarded long run draws the window max every
+    # window, so the bound grows ~sqrt(log total-samples); the r5
+    # 80-day 262k integration's running max (3.8e-5, rising seasonally)
+    # must sit inside the half-year bound while a real regression
+    # (1e-4) stays outside at any horizon
+    b_halfyear = errsol_bound(262144, nsteps=181 * 48)
+    assert b262k < b_halfyear < 8.0e-5
+    assert 3.8e-5 < b_halfyear
+    assert errsol_bound(262144, nsteps=17520) < 1e-4  # full year
+    assert errsol_bound(262144, nsteps=48) == pytest.approx(b262k)
 
 
 def test_guard_batch_scaled_bound_and_scan_diags():

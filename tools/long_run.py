@@ -109,8 +109,15 @@ def main():
     # 1.3e-9; 3.6e-10 at 1024).  1e-7 keeps 7 orders of margin below the
     # 0.9 mm leak class this ledger caught while not tripping on
     # batch-scaled rounding.
+    # errsol: the horizon-scaled contract — a long run draws the
+    # 48-step-window max every window, so the bound must cover the max
+    # over ncol x nsteps samples, not one calibration window (the r5
+    # 80-day 262k run's seasonal rise to 3.8e-5 exceeded what any
+    # single July window shows; utils/guard.errsol_bound docstring)
+    from elmkernels_tpu.utils.guard import errsol_bound
     guard = StepGuard(ncol=ncol, every=1, errh2o_max=None,
                       errh2osno_max=None, errh2osno_steady_max=1e-7,
+                      errsol_max=errsol_bound(ncol, nsteps),
                       errh2o_led_max=1e-7)
     guard.snapshot(model.state)
     metrics = MetricsLogger(outdir / "metrics.jsonl")
